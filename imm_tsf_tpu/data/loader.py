@@ -1,0 +1,173 @@
+"""Split logic + batching iterators (host side).
+
+Replaces reference torch DataLoader machinery (lib/parse_datasets.py:636-854)
+with NumPy iterators that emit static-shaped batch dicts ready for
+jax.device_put. Split semantics match exactly:
+
+  instance: sklearn train_test_split(rec_ids, 0.8, random_state=42, shuffle=True)
+            then (0.75, shuffle=False)                (:689-713)
+  sample:   per-record temporal 60/20/20 by chunk idx (:715-731)
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Callable, Iterator
+
+import numpy as np
+from sklearn.model_selection import train_test_split
+
+from ..config import Config, finalize_patching
+from . import collate as C
+from .dataset import ChunkedTimeSeriesDataset, Chunk
+
+
+def split_indices(chunks: list[Chunk], split_method: str):
+    if split_method == "instance":
+        rec_ids = sorted({c.record_id for c in chunks})
+        train_recs, test_recs = train_test_split(
+            rec_ids, train_size=0.8, random_state=42, shuffle=True
+        )
+        train_recs, val_recs = train_test_split(
+            train_recs, train_size=0.75, random_state=42, shuffle=False
+        )
+        train_recs, val_recs, test_recs = set(train_recs), set(val_recs), set(test_recs)
+        train_idx = [i for i, c in enumerate(chunks) if c.record_id in train_recs]
+        val_idx = [i for i, c in enumerate(chunks) if c.record_id in val_recs]
+        test_idx = [i for i, c in enumerate(chunks) if c.record_id in test_recs]
+    elif split_method == "sample":
+        grouped = defaultdict(list)
+        for i, c in enumerate(chunks):
+            grouped[c.record_id].append((c.chunk_index, i))
+        train_idx, val_idx, test_idx = [], [], []
+        for lst in grouped.values():
+            lst.sort(key=lambda x: x[0])
+            N = len(lst)
+            t_end, v_end = int(N * 0.6), int(N * 0.8)
+            train_idx += [i for _, i in lst[:t_end]]
+            val_idx += [i for _, i in lst[t_end:v_end]]
+            test_idx += [i for _, i in lst[v_end:]]
+    else:
+        raise ValueError(f"Unknown split_method: {split_method!r}")
+    return train_idx, val_idx, test_idx
+
+
+class BatchIterator:
+    """Epoch iterator over a chunk subset. Each __iter__ re-shuffles (train)."""
+
+    def __init__(
+        self,
+        chunks: list[Chunk],
+        indices: list[int],
+        batch_size: int,
+        collate_fn: Callable[[list[Chunk]], dict],
+        shuffle: bool,
+        seed: int = 0,
+    ):
+        self.chunks = chunks
+        self.indices = list(indices)
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return (len(self.indices) + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        order = np.array(self.indices)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        for s in range(0, len(order), self.batch_size):
+            batch = [self.chunks[i] for i in order[s : s + self.batch_size]]
+            yield self.collate_fn(batch)
+
+
+def parse_datasets(cfg: Config, verbose: bool = True) -> dict:
+    """Build dataset + loaders; returns the reference's data_obj contract
+    (lib/parse_datasets.py:847-854) plus static shape bounds.
+
+    Also resolves cfg.input_len / cfg.pred_len / cfg.input_dim directly from
+    the chunk bounds — O(1) instead of the reference's full-epoch scan
+    (lib/parse_datasets.py:479-512) — and returns the updated cfg.
+    """
+    import os
+
+    base = cfg.data_root if os.path.isabs(cfg.data_root) else os.path.abspath(cfg.data_root)
+    dataset_path = os.path.join(base, cfg.dataset)
+
+    ds = ChunkedTimeSeriesDataset(
+        root=dataset_path,
+        history=cfg.history,
+        pred_window=cfg.pred_window,
+        stride=cfg.stride,
+        time_unit=cfg.time_unit,
+        unit_scale=cfg.unit_scale,
+        normalize=True,
+        enable_text=cfg.enable_text,
+        use_text_embeddings=cfg.use_text_embeddings,
+        llm_model_fusion=cfg.llm_model_fusion,
+        llm_layers_fusion=cfg.llm_layers_fusion,
+        max_length=cfg.max_length,
+        rec_ids=list(cfg.rec_ids) if cfg.rec_ids else None,
+        verbose=verbose,
+    )
+    b = ds.bounds
+    time_max = float(cfg.history + cfg.pred_window)
+
+    cfg = cfg.replace(
+        input_dim=ds.input_dim, input_len=b.max_obs_len, pred_len=b.max_pred_len
+    )
+    if cfg.model == "tPatchGNN":
+        cfg = finalize_patching(cfg)
+
+    def make_collate(model: str) -> Callable[[list[Chunk]], dict]:
+        if model == "tPatchGNN":
+            base_fn = lambda batch: C.patch_collate(
+                batch, cfg.history, time_max, b.max_pred_len,
+                cfg.patch_size, cfg.patch_stride, cfg.npatch,
+            )
+        elif model == "CRU":
+            base_fn = lambda batch: C.cru_collate(
+                batch, cfg.history, time_max, b.max_obs_len, b.max_pred_len
+            )
+        elif model == "LatentODE":
+            base_fn = lambda batch: C.ode_collate(batch, cfg.history, time_max)
+        else:
+            base_fn = lambda batch: C.standard_collate(
+                batch, cfg.history, time_max, b.max_obs_len, b.max_pred_len
+            )
+
+        def fn(batch: list[Chunk]) -> dict:
+            out = base_fn(batch)
+            return C.add_multimodal(
+                out, batch, cfg.enable_text, cfg.use_text_embeddings, b.max_notes, b.d_txt
+            )
+
+        return fn
+
+    collate_fn = make_collate(cfg.model)
+    train_idx, val_idx, test_idx = split_indices(ds.chunks, cfg.split_method)
+    if verbose:
+        print(
+            f"After chunking & splitting ({cfg.split_method}): "
+            f"train={len(train_idx)}, val={len(val_idx)}, test={len(test_idx)}"
+        )
+
+    return {
+        "train_dataloader": BatchIterator(
+            ds.chunks, train_idx, cfg.batch_size, collate_fn, shuffle=True, seed=cfg.seed
+        ),
+        "val_dataloader": BatchIterator(
+            ds.chunks, val_idx, cfg.batch_size, collate_fn, shuffle=False
+        ),
+        "test_dataloader": (
+            BatchIterator(ds.chunks, test_idx, cfg.batch_size, collate_fn, shuffle=False)
+            if test_idx
+            else None
+        ),
+        "input_dim": ds.input_dim,
+        "time_max": time_max,
+        "ds": ds,
+        "cfg": cfg,
+    }

@@ -1,0 +1,35 @@
+"""Shared model utilities: the irregular->fixed-length adapter.
+
+The reference's regular-TS models all follow the same adapter pattern
+(e.g. models/DLinear.py:61-90): zero-pad history/horizon to fixed
+input_len/pred_len, masked per-series normalization, de-normalize on the
+horizon. Under the static-shape pipeline the collate already pads to
+input_len/pred_len, so `pad_to` is usually the identity — kept for
+API-level robustness with shorter inputs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def pad_time(x: jnp.ndarray, target_len: int) -> jnp.ndarray:
+    """Zero-pad axis 1 (time) to target_len. x: [B, L, ...] or [B, L]."""
+    L = x.shape[1]
+    if L >= target_len:
+        return x
+    pad_cfg = [(0, 0), (0, target_len - L)] + [(0, 0)] * (x.ndim - 2)
+    return jnp.pad(x, pad_cfg)
+
+
+def masked_norm(observed_data: jnp.ndarray, observed_mask: jnp.ndarray, eps: float = 1e-5):
+    """Masked per-(batch, channel) standardization over time
+    (reference models/DLinear.py:84-90). Returns (x, means, stdev)."""
+    x = observed_data * observed_mask
+    sums = jnp.clip(observed_mask.sum(axis=1, keepdims=True), 1, None)
+    means = x.sum(axis=1, keepdims=True) / sums
+    x = x - means
+    var = ((x * observed_mask) ** 2).sum(axis=1, keepdims=True) / sums
+    stdev = jnp.sqrt(var + eps)
+    x = x / stdev
+    return x, means, stdev

@@ -1,0 +1,172 @@
+"""Golden-value parity vs the PyTorch reference (when mounted).
+
+Runs the reference's ChunkedTimeSeriesDataset + collate fns on the same
+synthetic dataset and compares against our NumPy pipeline. Skipped when
+/root/reference is absent (e.g. CI without the mount)."""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+
+
+@pytest.fixture(scope="module")
+def ref_modules():
+    # the reference imports prettytable/tqdm at module scope; stub if missing
+    for name in ("prettytable", "tqdm"):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                mod = types.ModuleType(name)
+                if name == "prettytable":
+                    class _PT:
+                        def __init__(self, *a, **k): ...
+                        def add_row(self, *a): ...
+                        def __str__(self): return ""
+                    mod.PrettyTable = _PT
+                else:
+                    mod.tqdm = lambda x, *a, **k: x
+                sys.modules[name] = mod
+    sys.path.insert(0, REF)
+    import lib.parse_datasets as ref_pd  # noqa
+
+    yield ref_pd
+    sys.path.remove(REF)
+
+
+@pytest.fixture(scope="module")
+def both_datasets(synth_root, ref_modules):
+    import torch
+
+    ref_ds = ref_modules.ChunkedTimeSeriesDataset(
+        root=synth_root + "/EPA-Air",
+        history=7, pred_window=7, stride=7,
+        device=torch.device("cpu"), time_unit="days",
+        normalize=True, enable_text=False,
+    )
+    from imm_tsf_tpu.data.dataset import ChunkedTimeSeriesDataset
+
+    our_ds = ChunkedTimeSeriesDataset(
+        root=synth_root + "/EPA-Air",
+        history=7, pred_window=7, stride=7,
+        time_unit="days", enable_text=False, verbose=False,
+    )
+    return ref_ds, our_ds
+
+
+def test_chunks_match(both_datasets):
+    ref_ds, our_ds = both_datasets
+    assert len(ref_ds.chunks) == len(our_ds.chunks)
+    for (rid, rtt, rvals, rmask, _), ours in zip(ref_ds.chunks, our_ds.chunks):
+        assert rid == ours.chunk_id
+        np.testing.assert_allclose(rtt.numpy(), ours.tt, atol=1e-6)
+        np.testing.assert_allclose(rvals.numpy(), ours.vals, atol=1e-5)
+        np.testing.assert_array_equal(rmask.numpy(), ours.mask)
+
+
+def test_standard_collate_matches(both_datasets, ref_modules):
+    import argparse
+
+    import torch
+
+    ref_ds, our_ds = both_datasets
+    args = argparse.Namespace(history=7, pred_window=7, device=torch.device("cpu"))
+    batch = [c[:4] for c in ref_ds.chunks[:6]]
+    ref_out = ref_modules.variable_time_collate_fn(batch, args)
+
+    from imm_tsf_tpu.data.collate import standard_collate
+
+    b = our_ds.bounds
+    our_out = standard_collate(our_ds.chunks[:6], 7.0, 14.0, b.max_obs_len, b.max_pred_len)
+
+    # reference pads to batch-max, ours to global max: compare on the
+    # reference's region; our extra tail must be all zero.
+    for key in ["observed_data", "observed_tp", "observed_mask",
+                "data_to_predict", "tp_to_predict", "mask_predicted_data"]:
+        r = ref_out[key].numpy()
+        o = our_out[key]
+        L = r.shape[1]
+        np.testing.assert_allclose(o[:, :L], r, atol=1e-6, err_msg=key)
+        assert (o[:, L:] == 0).all(), key
+
+
+def test_cru_collate_matches(both_datasets, ref_modules):
+    import argparse
+
+    import torch
+
+    ref_ds, our_ds = both_datasets
+    args = argparse.Namespace(history=7, pred_window=7, device=torch.device("cpu"))
+    batch = [c[:4] for c in ref_ds.chunks[:6]]
+    ref_out = ref_modules.variable_time_collate_fn_CRU(batch, args)
+    from imm_tsf_tpu.data.collate import cru_collate
+
+    b = our_ds.bounds
+    our_out = cru_collate(our_ds.chunks[:6], 7.0, 14.0, b.max_obs_len, b.max_pred_len)
+    for key in ["observed_data", "observed_tp", "data_to_predict", "tp_to_predict"]:
+        r = ref_out[key].numpy()
+        np.testing.assert_allclose(our_out[key][:, : r.shape[1]], r, atol=1e-6, err_msg=key)
+
+
+def test_ode_collate_matches(both_datasets, ref_modules):
+    import argparse
+
+    import torch
+
+    ref_ds, our_ds = both_datasets
+    args = argparse.Namespace(history=7, pred_window=7, device=torch.device("cpu"))
+    batch = [c[:4] for c in ref_ds.chunks[:6]]
+    ref_out = ref_modules.variable_time_collate_fn_ODE(batch, args)
+    from imm_tsf_tpu.data.collate import ode_collate
+
+    our_out = ode_collate(our_ds.chunks[:6], 7.0, 14.0)
+    n_obs = our_out["n_observed_tp"]
+    r_tp = ref_out["observed_tp"].numpy()
+    assert n_obs == len(r_tp)
+    np.testing.assert_allclose(our_out["observed_tp"][:n_obs], r_tp, atol=1e-5)
+    np.testing.assert_allclose(
+        our_out["observed_data"][:, :n_obs], ref_out["observed_data"].numpy(), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        our_out["observed_mask"][:, :n_obs], ref_out["observed_mask"].numpy(), atol=1e-6
+    )
+    T_pred_real = ref_out["tp_to_predict"].shape[0]
+    np.testing.assert_allclose(
+        our_out["data_to_predict"][:, :T_pred_real],
+        ref_out["data_to_predict"].numpy(), atol=1e-6,
+    )
+
+
+def test_patch_collate_matches(both_datasets, ref_modules):
+    import argparse
+
+    import torch
+
+    ref_ds, our_ds = both_datasets
+    args = argparse.Namespace(
+        history=7, pred_window=7, device=torch.device("cpu"),
+        patch_size=1.4, patch_stride=1.4, npatch=5,
+    )
+    batch = [c[:4] for c in ref_ds.chunks[:6]]
+    ref_out = ref_modules.patch_variable_time_collate_fn(batch, args)
+    from imm_tsf_tpu.data.collate import patch_collate
+
+    our_out = patch_collate(
+        our_ds.chunks[:6], 7.0, 14.0, our_ds.bounds.max_pred_len,
+        patch_size=1.4, patch_stride=1.4, npatch=5,
+    )
+    r = ref_out["observed_data"].numpy()  # [B, P, Lr, D]
+    o = our_out["observed_data"]
+    Lr = r.shape[2]
+    np.testing.assert_allclose(o[:, :, :Lr], r, atol=1e-6)
+    assert (o[:, :, Lr:] == 0).all()
+    rm = ref_out["observed_mask"].numpy()
+    np.testing.assert_allclose(our_out["observed_mask"][:, :, :Lr], rm, atol=1e-6)
+    rt = ref_out["observed_tp"].numpy()
+    np.testing.assert_allclose(our_out["observed_tp"][:, :, :Lr], rt, atol=1e-6)
