@@ -63,12 +63,14 @@ class BatchIterator:
         collate_fn: Callable[[list[Chunk]], dict],
         shuffle: bool,
         seed: int = 0,
+        pad_to_batch: bool = True,
     ):
         self.chunks = chunks
         self.indices = list(indices)
         self.batch_size = batch_size
         self.collate_fn = collate_fn
         self.shuffle = shuffle
+        self.pad_to_batch = pad_to_batch
         self._rng = np.random.default_rng(seed)
 
     def __len__(self) -> int:
@@ -80,7 +82,33 @@ class BatchIterator:
             self._rng.shuffle(order)
         for s in range(0, len(order), self.batch_size):
             batch = [self.chunks[i] for i in order[s : s + self.batch_size]]
-            yield self.collate_fn(batch)
+            out = self.collate_fn(batch)
+            if self.pad_to_batch and len(batch) < self.batch_size:
+                out = _pad_batch_dim(out, len(batch), self.batch_size)
+            out["n_real"] = len(batch)
+            yield out
+
+
+def _pad_batch_dim(out: dict, n: int, B: int) -> dict:
+    """Pad the batch axis to a static B with all-zero-mask dummy rows.
+
+    Metric sums/counts and the masked two-stage loss are invariant to
+    zero-mask rows, so remainder batches keep one static shape instead of
+    triggering an XLA recompile (reference keeps ragged last batches)."""
+    pad = B - n
+    padded = {}
+    for k, v in out.items():
+        # batch-axis arrays are exactly the >=2-D ones (the ODE path's shared
+        # 1-D time axes have no batch dim and must not be padded)
+        if isinstance(v, np.ndarray) and v.ndim >= 2 and v.shape[0] == n:
+            padded[k] = np.concatenate(
+                [v, np.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+            )
+        elif isinstance(v, list) and len(v) == n:  # notes_text
+            padded[k] = v + [[] for _ in range(pad)]
+        else:
+            padded[k] = v
+    return padded
 
 
 def parse_datasets(cfg: Config, verbose: bool = True) -> dict:

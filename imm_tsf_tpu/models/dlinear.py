@@ -24,7 +24,8 @@ class DLinear(nn.Module):
     individual: bool = False
 
     @nn.compact
-    def __call__(self, tp_to_predict, observed_data, observed_tp, observed_mask):
+    def __call__(self, tp_to_predict, observed_data, observed_tp, observed_mask,
+                 train: bool = False):
         cfg = self.cfg
         seq_len, pred_len, C = cfg.input_len, cfg.pred_len, cfg.input_dim
         B, L, _ = observed_data.shape

@@ -1,0 +1,20 @@
+"""Optimizer construction matching the reference protocol.
+
+Reference (main.py:1024, 1092-1101): torch.optim.Adam(lr, weight_decay)
+with grad clipping at global-norm 1.0 applied to the raw gradients before
+the step. torch Adam's weight_decay is L2-into-gradient (not decoupled
+AdamW), so the optax chain is clip -> add_decayed_weights -> adam-scale.
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def make_optimizer(lr: float, w_decay: float, clip_norm: float = 1.0):
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.add_decayed_weights(w_decay) if w_decay else optax.identity(),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-lr),
+    )

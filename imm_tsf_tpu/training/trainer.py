@@ -1,0 +1,215 @@
+"""Training harness: the reference's trainable() protocol, TPU-native.
+
+Parity with reference main.py:945-1176:
+  - Adam(lr, weight_decay) + global-norm-1.0 grad clip (:1024, :1092-1101)
+  - epoch loop, val after each epoch, test ONLY when val MSE improves by
+    more than early_stop_delta, early stop after `patience` stagnant
+    epochs (:1131-1170); returns the best epoch's test metrics
+  - NaN guard: loss is checked per step (the reference uses per-module
+    hooks, main.py:1026-1050, which don't exist under jit; we check the
+    jitted loss and optionally enable jax_debug_nans)
+
+TPU design: one jitted train step per static batch signature, params
+replicated over the mesh, batches sharded on the batch axis (gradient
+psum inserted by the partitioner). Host->device transfer is the only
+per-step Python work.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..models import get_model
+from ..parallel.mesh import make_mesh, shard_batch
+from .evaluation import batch_error_sums, finalize_metrics, masked_mse_loss
+from .optim import make_optimizer
+
+logger = logging.getLogger("imm_tsf_tpu")
+
+
+def _model_inputs(batch: dict):
+    return (
+        batch["tp_to_predict"],
+        batch["observed_data"],
+        batch["observed_tp"],
+        batch["observed_mask"],
+    )
+
+
+def init_params(cfg: Config, model, fusion, sample_batch: dict, rng):
+    dev_batch = {k: jnp.asarray(v) for k, v in sample_batch.items() if isinstance(v, np.ndarray)}
+    rng, k1, k2 = jax.random.split(rng, 3)
+    params = {
+        "model": model.init(
+            {"params": k1, "dropout": k1}, *_model_inputs(dev_batch), train=False
+        )["params"]
+    }
+    if fusion is not None:
+        params["fusion"] = fusion.init(
+            {"params": k2, "dropout": k2},
+            dev_batch["notes_embeddings"],
+            dev_batch["tau"],
+            dev_batch["tp_to_predict"],
+            dev_batch["data_to_predict"],
+            dev_batch["notes_mask"],
+            train=False,
+        )["params"]
+    return params
+
+
+def make_forward(cfg: Config, model, fusion):
+    """compute_all_losses's forward path (reference lib/evaluation.py:72-100)."""
+
+    def forward(params, batch, train: bool, rng):
+        rngs = {"dropout": rng} if train else None
+        pred_y = model.apply(
+            {"params": params["model"]}, *_model_inputs(batch), train=train, rngs=rngs
+        )
+        if pred_y.ndim == 4:  # [S, B, T, D] -> mean over traj samples
+            pred_y = pred_y.mean(axis=0)
+        if fusion is not None:
+            pred_y = fusion.apply(
+                {"params": params["fusion"]},
+                batch["notes_embeddings"],
+                batch["tau"],
+                batch["tp_to_predict"],
+                pred_y,
+                batch["notes_mask"],
+                train=train,
+                rngs=rngs,
+            )
+        return pred_y
+
+    return forward
+
+
+def build_steps(cfg: Config, model, fusion, tx):
+    forward = make_forward(cfg, model, fusion)
+
+    def loss_fn(params, batch, rng):
+        pred_y = forward(params, batch, True, rng)
+        return masked_mse_loss(
+            pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
+        )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    @jax.jit
+    def eval_step(params, batch):
+        pred_y = forward(params, batch, False, None)
+        return batch_error_sums(
+            pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
+        )
+
+    return train_step, eval_step
+
+
+def run_evaluation(eval_step, params, loader, mesh) -> dict:
+    acc = None
+    for batch in loader:
+        sums = jax.device_get(eval_step(params, shard_batch(batch, mesh)))
+        if acc is None:
+            acc = {k: np.asarray(v, np.float64) for k, v in sums.items()}
+        else:
+            for k in acc:
+                acc[k] += np.asarray(sums[k], np.float64)
+    return finalize_metrics(acc)
+
+
+def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0) -> dict:
+    """Train one (dataset, model, fusion) combo; returns best-epoch test
+    metrics {loss, mse, mae, rmse, mape} (reference main.py:1176)."""
+    from ..data.loader import parse_datasets
+
+    if data_obj is None:
+        data_obj = parse_datasets(cfg, verbose=False)
+    cfg = data_obj["cfg"]
+
+    model = get_model(cfg)
+    fusion = None
+    if cfg.enable_text:
+        from ..fusion.fusion_model import FusionModel
+
+        fusion = FusionModel(cfg)
+
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    sample_batch = next(iter(data_obj["train_dataloader"]))
+    rng, init_rng = jax.random.split(rng)
+    params = init_params(cfg, model, fusion, sample_batch, init_rng)
+
+    tx = make_optimizer(cfg.lr, cfg.w_decay, clip_norm=1.0)
+    opt_state = tx.init(params)
+    train_step, eval_step = build_steps(cfg, model, fusion, tx)
+
+    best_val_mse = np.inf
+    best_iter = -1
+    test_res = None
+    no_improve = 0
+    history = []
+
+    for itr in range(cfg.epoch):
+        st = time.time()
+        last_loss = np.nan
+        for step, batch in enumerate(data_obj["train_dataloader"]):
+            rng, step_rng = jax.random.split(rng)
+            dev = shard_batch(batch, mesh)
+            params, opt_state, loss = train_step(params, opt_state, dev, step_rng)
+            last_loss = float(loss)
+            if np.isnan(last_loss):
+                raise FloatingPointError(
+                    f"NaN loss at epoch {itr} step {step} "
+                    f"(model={cfg.model}, dataset={cfg.dataset})"
+                )
+            if log_every and step % log_every == 0:
+                logger.info("epoch %d step %d loss %.5f", itr, step, last_loss)
+
+        val_res = run_evaluation(eval_step, params, data_obj["val_dataloader"], mesh)
+        improvement = best_val_mse - val_res["mse"]
+        if improvement > cfg.early_stop_delta:
+            best_val_mse = val_res["mse"]
+            best_iter = itr
+            no_improve = 0
+            if data_obj["test_dataloader"] is not None:
+                test_res = run_evaluation(
+                    eval_step, params, data_obj["test_dataloader"], mesh
+                )
+        else:
+            no_improve += 1
+
+        history.append(
+            dict(epoch=itr, train_loss=last_loss, val=val_res, secs=time.time() - st)
+        )
+        logger.info(
+            "- Epoch %03d | train loss %.5f | val mse %.5f mae %.5f | %.2fs",
+            itr, last_loss, val_res["mse"], val_res["mae"], time.time() - st,
+        )
+        if test_res is not None and best_iter == itr:
+            logger.info(
+                "Test - best epoch %d, mse %.5f, mae %.5f",
+                best_iter, test_res["mse"], test_res["mae"],
+            )
+        if no_improve >= cfg.patience:
+            logger.info("Exp has been early stopped!")
+            break
+
+    assert test_res is not None, "No test results available."
+    test_res = dict(test_res)
+    test_res["best_iter"] = best_iter
+    test_res["history"] = history
+    test_res["params"] = params
+    return test_res

@@ -3,10 +3,17 @@ multi-chip, SURVEY.md §4d) so sharding paths are exercised without TPUs."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# the axon sitecustomize force-registers the TPU tunnel backend and sets
+# jax_platforms="axon,cpu"; override before any backend initializes so the
+# suite runs on the fast local CPU with 8 virtual devices
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
