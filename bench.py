@@ -1,0 +1,168 @@
+"""Benchmark: forecast windows/sec/chip (BASELINE.md north-star metric).
+
+Measures the jitted forward+loss+grad step throughput of the flagship
+config on the available accelerator, and compares against the PyTorch
+reference's CPU throughput on identical shapes (the driver-set target is
+>=10x, /root/repo/BASELINE.json).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_batch(B=64, L=48, Lp=24, C=8, N=8, d_txt=768, seed=0):
+    rng = np.random.default_rng(seed)
+    mask = (rng.random((B, L, C)) > 0.3).astype(np.float32)
+    pmask = (rng.random((B, Lp, C)) > 0.3).astype(np.float32)
+    pmask[:, 0, 0] = 1.0
+    return {
+        "observed_tp": np.sort(rng.random((B, L)).astype(np.float32) * 0.5, axis=1),
+        "observed_data": (rng.standard_normal((B, L, C)) * mask).astype(np.float32),
+        "observed_mask": mask,
+        "tp_to_predict": np.sort(
+            0.5 + rng.random((B, Lp)).astype(np.float32) * 0.5, axis=1
+        ),
+        "data_to_predict": (rng.standard_normal((B, Lp, C)) * pmask).astype(np.float32),
+        "mask_predicted_data": pmask,
+        "tau": np.sort(rng.random((B, N)).astype(np.float32) * 0.5, axis=1),
+        "notes_mask": np.ones((B, N), np.float32),
+        "notes_embeddings": rng.standard_normal((B, N, d_txt)).astype(np.float32),
+    }
+
+
+def bench_jax(cfg, batch, steps=100):
+    """Device-side step loop (lax.scan over train steps) so the measured
+    number is chip throughput, not host/tunnel dispatch latency."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from imm_tsf_tpu.models import get_model
+    from imm_tsf_tpu.training.evaluation import masked_mse_loss
+    from imm_tsf_tpu.training.optim import make_optimizer
+    from imm_tsf_tpu.training.trainer import init_state, make_forward
+
+    model = get_model(cfg)
+    fusion = None
+    if cfg.enable_text:
+        from imm_tsf_tpu.fusion.fusion_model import FusionModel
+
+        fusion = FusionModel(cfg)
+    params, stats = init_state(cfg, model, fusion, batch, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.lr, cfg.w_decay)
+    opt_state = tx.init(params)
+    forward = make_forward(cfg, model, fusion)
+    dev = {k: jax.device_put(v) for k, v in batch.items()}
+
+    def loss_fn(params, stats, rng):
+        pred_y, new_stats = forward(params, stats, dev, True, rng)
+        return masked_mse_loss(
+            pred_y, dev["data_to_predict"], dev["mask_predicted_data"]
+        ), new_stats
+
+    @jax.jit
+    def run(params, stats, opt_state, rng):
+        def body(carry, i):
+            params, stats, opt_state, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, stats, step_rng
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, stats, opt_state, rng), loss
+
+        (params, stats, opt_state, _), losses = jax.lax.scan(
+            body, (params, stats, opt_state, rng), jnp.arange(steps)
+        )
+        return params, opt_state, losses[-1]
+
+    # warmup / compile
+    p, o, loss = run(params, stats, opt_state, jax.random.PRNGKey(1))
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    p, o, loss = run(params, stats, opt_state, jax.random.PRNGKey(2))
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    B = batch["observed_data"].shape[0]
+    return B * steps / dt
+
+
+def bench_torch_reference(batch, steps=10):
+    """Reference DLinear forward+backward+step on CPU, same shapes."""
+    try:
+        import argparse
+
+        import torch
+
+        sys.path.insert(0, "/root/reference")
+        from models.DLinear import DLinear as RefDLinear
+
+        B, L, C = batch["observed_data"].shape
+        Lp = batch["tp_to_predict"].shape[1]
+        args = argparse.Namespace(
+            input_len=L, pred_len=Lp, enc_in=C, moving_avg=25,
+            batch_size=B, device=torch.device("cpu"),
+        )
+        model = RefDLinear(args)
+        opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=0.01)
+        t = {k: torch.tensor(v) for k, v in batch.items() if isinstance(v, np.ndarray)}
+
+        def step():
+            opt.zero_grad()
+            pred = model.forecasting(
+                t["tp_to_predict"], t["observed_data"], t["observed_tp"],
+                t["observed_mask"],
+            )
+            err = ((pred - t["data_to_predict"]) ** 2 * t["mask_predicted_data"])
+            loss = err.sum() / t["mask_predicted_data"].sum()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+            opt.step()
+
+        step()  # warmup
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            step()
+        dt = time.perf_counter() - t0
+        return B * steps / dt
+    except Exception as e:
+        print(f"# reference baseline unavailable: {e}", file=sys.stderr)
+        return None
+    finally:
+        if "/root/reference" in sys.path:
+            sys.path.remove("/root/reference")
+
+
+def main():
+    from imm_tsf_tpu.config import Config
+
+    B, L, Lp, C = 64, 48, 24, 8
+    batch = build_batch(B=B, L=L, Lp=Lp, C=C)
+    cfg = Config(
+        model="DLinear", enable_text=True, use_text_embeddings=True,
+        llm_model_fusion="GPT2", TTF_module="TTF_RecAvg", MMF_module="MMF_GR_Add",
+        d_txt=768, input_dim=C, input_len=L, pred_len=Lp, batch_size=B,
+        dropout=0.1,
+    )
+    ours = bench_jax(cfg, batch)
+    ref = bench_torch_reference(batch)
+    vs = ours / ref if ref else float("nan")
+    print(json.dumps({
+        "metric": "forecast_windows_per_sec_per_chip",
+        "value": round(ours, 2),
+        "unit": "windows/s/chip",
+        "vs_baseline": round(vs, 2) if ref else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""TSLib-style transformer blocks (reference layers/Transformer_EncDec.py,
+layers/SelfAttention_Family.py:50-216).
+
+FullAttention / AttentionLayer / EncoderLayer / Encoder / DecoderLayer /
+Decoder / ConvLayer (Informer distil). Pointwise FFN convs are Dense
+layers (kernel-size-1 convs); all attention is batched MXU matmuls.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .attention import masked_softmax
+
+
+class FullAttention(nn.Module):
+    """Scaled dot-product over [B, L, H, E]-shaped q/k/v
+    (reference SelfAttention_Family.py:50-78)."""
+
+    mask_flag: bool = False
+    scale: float | None = None
+    attention_dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, queries, keys, values, attn_mask=None, train: bool = False):
+        B, L, H, E = queries.shape
+        S = keys.shape[1]
+        scale = self.scale or 1.0 / jnp.sqrt(E)
+        scores = jnp.einsum(
+            "blhe,bshe->bhls", queries, keys, preferred_element_type=jnp.float32
+        )
+        mask = None
+        if self.mask_flag:
+            causal = jnp.tril(jnp.ones((L, S), bool))  # True = attend
+            mask = causal[None, None]
+        if attn_mask is not None:
+            mask = attn_mask if mask is None else (mask & attn_mask)
+        A = masked_softmax(scale * scores, mask)
+        A = nn.Dropout(self.attention_dropout)(A, deterministic=not train)
+        return jnp.einsum("bhls,bshd->blhd", A, values)
+
+
+class AttentionLayer(nn.Module):
+    """q/k/v/out projections around an inner attention
+    (reference SelfAttention_Family.py:181-216)."""
+
+    inner: nn.Module
+    d_model: int
+    n_heads: int
+
+    @nn.compact
+    def __call__(self, queries, keys, values, attn_mask=None, train: bool = False):
+        B, L, _ = queries.shape
+        S = keys.shape[1]
+        H = self.n_heads
+        d_k = self.d_model // H
+        q = nn.Dense(d_k * H, name="query_projection")(queries).reshape(B, L, H, -1)
+        k = nn.Dense(d_k * H, name="key_projection")(keys).reshape(B, S, H, -1)
+        v = nn.Dense(d_k * H, name="value_projection")(values).reshape(B, S, H, -1)
+        out = self.inner(q, k, v, attn_mask=attn_mask, train=train)
+        out = out.reshape(B, L, -1)
+        return nn.Dense(self.d_model, name="out_projection")(out)
+
+
+class EncoderLayer(nn.Module):
+    """post-norm attention + pointwise conv FFN
+    (reference Transformer_EncDec.py:27-52)."""
+
+    attention: nn.Module
+    d_model: int
+    d_ff: int | None = None
+    dropout: float = 0.1
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None, train: bool = False):
+        d_ff = self.d_ff or 4 * self.d_model
+        act = nn.relu if self.activation == "relu" else nn.gelu
+        drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
+        new_x = self.attention(x, x, x, attn_mask=attn_mask, train=train)
+        x = x + drop(new_x)
+        y = x = nn.LayerNorm(name="norm1")(x)
+        y = drop(act(nn.Dense(d_ff, name="conv1")(y)))
+        y = drop(nn.Dense(self.d_model, name="conv2")(y))
+        return nn.LayerNorm(name="norm2")(x + y)
+
+
+class ConvLayer(nn.Module):
+    """Informer distilling conv: circular conv k3 pad2 + BatchNorm + ELU +
+    maxpool k3 s2 p1 (reference Transformer_EncDec.py:6-24). Halves the
+    time axis (approximately)."""
+
+    c_in: int
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # [B, L, D]
+        x = jnp.pad(x, ((0, 0), (2, 2), (0, 0)), mode="wrap")
+        x = nn.Conv(self.c_in, kernel_size=(3,), padding="VALID", name="downConv")(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="norm"
+        )(x)
+        x = nn.elu(x)
+        x = jnp.pad(x, ((0, 0), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        return _max_pool_1d(x, 3, 2)
+
+
+def _max_pool_1d(x, window, stride):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, window, 1),
+        window_strides=(1, stride, 1),
+        padding="VALID",
+    )
+
+
+class Encoder(nn.Module):
+    """Stack of EncoderLayers with optional distil ConvLayers and final norm
+    (reference Transformer_EncDec.py:54-81)."""
+
+    attn_layers: tuple
+    conv_layers: tuple | None = None
+    use_norm: bool = True
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None, train: bool = False):
+        if self.conv_layers is not None:
+            for attn_layer, conv_layer in zip(self.attn_layers, self.conv_layers):
+                x = attn_layer(x, attn_mask=attn_mask, train=train)
+                x = conv_layer(x, train=train)
+            x = self.attn_layers[-1](x, train=train)
+        else:
+            for attn_layer in self.attn_layers:
+                x = attn_layer(x, attn_mask=attn_mask, train=train)
+        if self.use_norm:
+            x = nn.LayerNorm(name="norm")(x)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    """self-attn + cross-attn + FFN (reference Transformer_EncDec.py:83-117)."""
+
+    self_attention: nn.Module
+    cross_attention: nn.Module
+    d_model: int
+    d_ff: int | None = None
+    dropout: float = 0.1
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x, cross, x_mask=None, cross_mask=None, train: bool = False):
+        d_ff = self.d_ff or 4 * self.d_model
+        act = nn.relu if self.activation == "relu" else nn.gelu
+        drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
+        x = x + drop(self.self_attention(x, x, x, attn_mask=x_mask, train=train))
+        x = nn.LayerNorm(name="norm1")(x)
+        x = x + drop(self.cross_attention(x, cross, cross, attn_mask=cross_mask, train=train))
+        y = x = nn.LayerNorm(name="norm2")(x)
+        y = drop(act(nn.Dense(d_ff, name="conv1")(y)))
+        y = drop(nn.Dense(self.d_model, name="conv2")(y))
+        return nn.LayerNorm(name="norm3")(x + y)
+
+
+class Decoder(nn.Module):
+    layers: tuple
+    use_norm: bool = True
+    projection_dim: int | None = None
+
+    @nn.compact
+    def __call__(self, x, cross, x_mask=None, cross_mask=None, train: bool = False):
+        for layer in self.layers:
+            x = layer(x, cross, x_mask=x_mask, cross_mask=cross_mask, train=train)
+        if self.use_norm:
+            x = nn.LayerNorm(name="norm")(x)
+        if self.projection_dim is not None:
+            x = nn.Dense(self.projection_dim, name="projection")(x)
+        return x

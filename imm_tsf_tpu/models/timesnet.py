@@ -1,0 +1,161 @@
+"""TimesNet — FFT-period 2-D-variation model, irregular-adapted.
+
+Behavioral parity with reference models/TimesNet.py:9-152: DataEmbedding
+over (value, mask, time) channels, predict_linear extension over the time
+axis, TimesBlocks with FFT top-k period detection, Inception conv over the
+[rows, period] grid, softmax-weighted aggregation, final projection and
+de-normalization.
+
+TPU redesign of the data-dependent reshape (SURVEY.md §7 hard part 4):
+`period = T // f` drives a dynamic [T//period, period] grid in the
+reference. Here the achievable periods {T // f : f in 1..T//2} form a
+small static set (~2*sqrt(T) values); each gets a static-shape branch and
+`lax.switch` selects by the top-k frequency through a static f->branch
+lookup table. XLA compiles every branch once; runtime executes only the
+selected ones.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..layers.embed import DataEmbedding
+from .base import pad_time
+
+
+def _init_inception_params(mdl: nn.Module, name: str, c_in: int, c_out: int,
+                           num_kernels: int):
+    """Explicit conv params so branches can be pure jax functions under
+    lax.switch (lifted-transform-free). Matches reference
+    layers/Conv_Blocks.py:5-30 (kernel 2i+1, SAME pad, kaiming, zero bias)."""
+    params = []
+    for i in range(num_kernels):
+        k = 2 * i + 1
+        w = mdl.param(
+            f"{name}_kernel_{i}", nn.initializers.kaiming_normal(), (k, k, c_in, c_out)
+        )
+        b = mdl.param(f"{name}_bias_{i}", nn.initializers.zeros, (c_out,))
+        params.append((w, b))
+    return params
+
+
+def _apply_inception(params, x):
+    """x [B, H, W, C_in] -> mean over kernel sizes of SAME 2-D convs."""
+    res = []
+    for w, b in params:
+        out = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        res.append(out + b)
+    return jnp.stack(res, axis=-1).mean(axis=-1)
+
+
+class TimesBlock(nn.Module):
+    cfg: Config
+    total_len: int  # seq_len + pred_len (static)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):  # [B, T, N]
+        cfg = self.cfg
+        B, T, N = x.shape
+        k = cfg.top_k
+
+        xf = jnp.fft.rfft(x, axis=1)
+        amp = jnp.abs(xf)  # [B, F, N]
+        frequency_list = amp.mean(axis=0).mean(axis=-1)  # [F]
+        frequency_list = frequency_list.at[0].set(0.0)
+        _, top_list = jax.lax.top_k(frequency_list, k)  # [k] dynamic freq idx
+        period_weight = amp.mean(axis=-1)[:, top_list]  # [B, k]
+
+        # static candidate periods and f -> branch lookup
+        F = T // 2 + 1
+        f_to_period = np.array([T] + [T // f for f in range(1, F)], np.int64)
+        cand = sorted(set(int(p) for p in f_to_period if p >= 1))
+        period_to_branch = {p: i for i, p in enumerate(cand)}
+        lookup = jnp.asarray(
+            [period_to_branch[int(p)] for p in f_to_period], jnp.int32
+        )  # [F]
+
+        conv1_p = _init_inception_params(self, "conv1", cfg.d_model, cfg.d_ff,
+                                         cfg.num_kernels)
+        conv2_p = _init_inception_params(self, "conv2", cfg.d_ff, cfg.d_model,
+                                         cfg.num_kernels)
+
+        def make_branch(period: int):
+            def branch(xx):
+                # pad to a multiple of period, reshape to [B, rows, period, N]
+                if T % period != 0:
+                    length = ((T // period) + 1) * period
+                    xx = jnp.pad(xx, ((0, 0), (0, length - T), (0, 0)))
+                else:
+                    length = T
+                grid = xx.reshape(B, length // period, period, N)
+                out = _apply_inception(conv2_p, nn.gelu(_apply_inception(conv1_p, grid)))
+                return out.reshape(B, length, N)[:, :T, :]
+
+            return branch
+
+        branches = [make_branch(p) for p in cand]
+
+        # ONE switch call site, scanned over the k selected frequencies —
+        # every period branch is traced/compiled exactly once per block
+        def scan_body(_, f_idx):
+            return None, jax.lax.switch(lookup[f_idx], branches, x)
+
+        _, res = jax.lax.scan(scan_body, None, top_list)  # [k, B, T, N]
+        res = jnp.moveaxis(res, 0, -1)  # [B, T, N, k]
+
+        pw = nn.softmax(period_weight, axis=1)  # [B, k]
+        res = (res * pw[:, None, None, :]).sum(axis=-1)
+        return res + x
+
+
+class TimesNet(nn.Module):
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, tp_to_predict, observed_data, observed_tp, observed_mask,
+                 train: bool = False):
+        cfg = self.cfg
+        seq_len, pred_len, K = cfg.input_len, cfg.pred_len, cfg.input_dim
+        observed_data = pad_time(observed_data, seq_len)
+        observed_mask = pad_time(observed_mask, seq_len)
+        observed_tp = pad_time(observed_tp, seq_len)
+        Lp = tp_to_predict.shape[1]
+        tp_to_predict = pad_time(tp_to_predict, pred_len)
+
+        x_enc = observed_data
+        means = x_enc.mean(axis=1, keepdims=True)
+        x_enc = x_enc - means
+        stdev = jnp.sqrt(x_enc.var(axis=1, keepdims=True) + 1e-5)
+        x_enc = x_enc / stdev
+        x_enc = jnp.concatenate(
+            [x_enc, observed_mask, observed_tp[:, :, None]], axis=-1
+        )  # [B, L, 2K+1]
+
+        enc_out = DataEmbedding(
+            cfg.d_model, cfg.freq, cfg.dropout, name="enc_embedding"
+        )(x_enc, train=train)  # [B, L, d_model]
+
+        tp_rep = jnp.repeat(tp_to_predict[:, :, None], cfg.d_model, axis=2)
+        enc_out = jnp.concatenate([enc_out, tp_rep], axis=1)  # [B, L+Lp, d]
+        # predict_linear over the time axis (reference :89-90,131)
+        enc_out = nn.Dense(seq_len + pred_len, name="predict_linear")(
+            enc_out.transpose(0, 2, 1)
+        ).transpose(0, 2, 1)
+
+        total = seq_len + pred_len
+        for i in range(cfg.e_layers):
+            enc_out = nn.LayerNorm(name=f"layer_norm_{i}")(
+                TimesBlock(cfg, total, name=f"times_block_{i}")(enc_out, train=train)
+            )
+
+        dec_out = nn.Dense(K, name="projection")(enc_out)
+        dec_out = dec_out * stdev[:, 0, :][:, None, :] + means[:, 0, :][:, None, :]
+        dec_out = dec_out[:, -pred_len:, :]
+        return dec_out[:, :Lp, :]

@@ -12,7 +12,9 @@ Parity with reference main.py:945-1176:
 TPU design: one jitted train step per static batch signature, params
 replicated over the mesh, batches sharded on the batch axis (gradient
 psum inserted by the partitioner). Host->device transfer is the only
-per-step Python work.
+per-step Python work. Model state is split into trainable `params` and
+non-trainable `stats` (batch_stats, e.g. Informer's distil BatchNorm)
+carried functionally through the step.
 """
 
 from __future__ import annotations
@@ -44,16 +46,29 @@ def _model_inputs(batch: dict):
     )
 
 
-def init_params(cfg: Config, model, fusion, sample_batch: dict, rng):
-    dev_batch = {k: jnp.asarray(v) for k, v in sample_batch.items() if isinstance(v, np.ndarray)}
-    rng, k1, k2 = jax.random.split(rng, 3)
-    params = {
-        "model": model.init(
-            {"params": k1, "dropout": k1}, *_model_inputs(dev_batch), train=False
-        )["params"]
+def _split_variables(variables: dict):
+    params = variables.get("params", {})
+    stats = {k: v for k, v in variables.items() if k != "params"}
+    return params, stats
+
+
+def _merge_variables(params, stats):
+    return {"params": params, **stats}
+
+
+def init_state(cfg: Config, model, fusion, sample_batch: dict, rng):
+    """Returns (params, stats) pytrees, keyed by component."""
+    dev_batch = {
+        k: jnp.asarray(v) for k, v in sample_batch.items() if isinstance(v, np.ndarray)
     }
+    rng, k1, k2 = jax.random.split(rng, 3)
+    mv = model.init(
+        {"params": k1, "dropout": k1}, *_model_inputs(dev_batch), train=False
+    )
+    mp, ms = _split_variables(mv)
+    params, stats = {"model": mp}, {"model": ms}
     if fusion is not None:
-        params["fusion"] = fusion.init(
+        fv = fusion.init(
             {"params": k2, "dropout": k2},
             dev_batch["notes_embeddings"],
             dev_batch["tau"],
@@ -61,23 +76,44 @@ def init_params(cfg: Config, model, fusion, sample_batch: dict, rng):
             dev_batch["data_to_predict"],
             dev_batch["notes_mask"],
             train=False,
-        )["params"]
+        )
+        fp, fs = _split_variables(fv)
+        params["fusion"] = fp
+        stats["fusion"] = fs
+    return params, stats
+
+
+# backwards-compatible helper (stats-free callers, e.g. bench warmup)
+def init_params(cfg: Config, model, fusion, sample_batch: dict, rng):
+    params, _ = init_state(cfg, model, fusion, sample_batch, rng)
     return params
 
 
 def make_forward(cfg: Config, model, fusion):
-    """compute_all_losses's forward path (reference lib/evaluation.py:72-100)."""
+    """compute_all_losses's forward path (reference lib/evaluation.py:72-100).
 
-    def forward(params, batch, train: bool, rng):
+    forward(params, stats, batch, train, rng) -> (pred_y, new_stats)."""
+
+    def forward(params, stats, batch, train: bool, rng):
+        if stats is None:
+            stats = {"model": {}, "fusion": {}}
         rngs = {"dropout": rng} if train else None
-        pred_y = model.apply(
-            {"params": params["model"]}, *_model_inputs(batch), train=train, rngs=rngs
-        )
+        mvars = _merge_variables(params["model"], stats.get("model", {}))
+        new_stats = dict(stats)
+        if train and stats.get("model"):
+            pred_y, mut = model.apply(
+                mvars, *_model_inputs(batch), train=True, rngs=rngs,
+                mutable=list(stats["model"].keys()),
+            )
+            new_stats = {**new_stats, "model": mut}
+        else:
+            pred_y = model.apply(mvars, *_model_inputs(batch), train=train, rngs=rngs)
         if pred_y.ndim == 4:  # [S, B, T, D] -> mean over traj samples
             pred_y = pred_y.mean(axis=0)
         if fusion is not None:
+            fvars = _merge_variables(params["fusion"], stats.get("fusion", {}))
             pred_y = fusion.apply(
-                {"params": params["fusion"]},
+                fvars,
                 batch["notes_embeddings"],
                 batch["tau"],
                 batch["tp_to_predict"],
@@ -86,7 +122,7 @@ def make_forward(cfg: Config, model, fusion):
                 train=train,
                 rngs=rngs,
             )
-        return pred_y
+        return pred_y, new_stats
 
     return forward
 
@@ -94,22 +130,25 @@ def make_forward(cfg: Config, model, fusion):
 def build_steps(cfg: Config, model, fusion, tx):
     forward = make_forward(cfg, model, fusion)
 
-    def loss_fn(params, batch, rng):
-        pred_y = forward(params, batch, True, rng)
-        return masked_mse_loss(
+    def loss_fn(params, stats, batch, rng):
+        pred_y, new_stats = forward(params, stats, batch, True, rng)
+        loss = masked_mse_loss(
             pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
         )
+        return loss, new_stats
 
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def train_step(params, opt_state, batch, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, stats, opt_state, batch, rng):
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, stats, batch, rng
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, new_stats, opt_state, loss
 
     @jax.jit
-    def eval_step(params, batch):
-        pred_y = forward(params, batch, False, None)
+    def eval_step(params, stats, batch):
+        pred_y, _ = forward(params, stats, batch, False, None)
         return batch_error_sums(
             pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
         )
@@ -117,10 +156,10 @@ def build_steps(cfg: Config, model, fusion, tx):
     return train_step, eval_step
 
 
-def run_evaluation(eval_step, params, loader, mesh) -> dict:
+def run_evaluation(eval_step, params, stats, loader, mesh) -> dict:
     acc = None
     for batch in loader:
-        sums = jax.device_get(eval_step(params, shard_batch(batch, mesh)))
+        sums = jax.device_get(eval_step(params, stats, shard_batch(batch, mesh)))
         if acc is None:
             acc = {k: np.asarray(v, np.float64) for k, v in sums.items()}
         else:
@@ -129,7 +168,8 @@ def run_evaluation(eval_step, params, loader, mesh) -> dict:
     return finalize_metrics(acc)
 
 
-def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0) -> dict:
+def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
+              checkpoint_dir: str | None = None) -> dict:
     """Train one (dataset, model, fusion) combo; returns best-epoch test
     metrics {loss, mse, mae, rmse, mape} (reference main.py:1176)."""
     from ..data.loader import parse_datasets
@@ -150,7 +190,7 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0) -> 
 
     sample_batch = next(iter(data_obj["train_dataloader"]))
     rng, init_rng = jax.random.split(rng)
-    params = init_params(cfg, model, fusion, sample_batch, init_rng)
+    params, stats = init_state(cfg, model, fusion, sample_batch, init_rng)
 
     tx = make_optimizer(cfg.lr, cfg.w_decay, clip_norm=1.0)
     opt_state = tx.init(params)
@@ -168,7 +208,9 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0) -> 
         for step, batch in enumerate(data_obj["train_dataloader"]):
             rng, step_rng = jax.random.split(rng)
             dev = shard_batch(batch, mesh)
-            params, opt_state, loss = train_step(params, opt_state, dev, step_rng)
+            params, stats, opt_state, loss = train_step(
+                params, stats, opt_state, dev, step_rng
+            )
             last_loss = float(loss)
             if np.isnan(last_loss):
                 raise FloatingPointError(
@@ -178,7 +220,7 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0) -> 
             if log_every and step % log_every == 0:
                 logger.info("epoch %d step %d loss %.5f", itr, step, last_loss)
 
-        val_res = run_evaluation(eval_step, params, data_obj["val_dataloader"], mesh)
+        val_res = run_evaluation(eval_step, params, stats, data_obj["val_dataloader"], mesh)
         improvement = best_val_mse - val_res["mse"]
         if improvement > cfg.early_stop_delta:
             best_val_mse = val_res["mse"]
@@ -186,8 +228,12 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0) -> 
             no_improve = 0
             if data_obj["test_dataloader"] is not None:
                 test_res = run_evaluation(
-                    eval_step, params, data_obj["test_dataloader"], mesh
+                    eval_step, params, stats, data_obj["test_dataloader"], mesh
                 )
+            if checkpoint_dir is not None:
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(checkpoint_dir, params, stats, itr)
         else:
             no_improve += 1
 
@@ -212,4 +258,5 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0) -> 
     test_res["best_iter"] = best_iter
     test_res["history"] = history
     test_res["params"] = params
+    test_res["stats"] = stats
     return test_res
