@@ -141,9 +141,12 @@ class Config:
     cru_dropout_rate: float = 0.0
     cru_enc_var_activation: str = "square"
     cru_dec_var_activation: str = "exp"
+    # defaults below mirror models/CRU.py:17-53 CRU_Args_Internal getattrs
     cru_trans_net_hidden_units: tuple = ()
-    cru_trans_net_hidden_activation: str = "tanh"
-    cru_trans_var_activation: str = "relu"
+    cru_trans_net_hidden_activation: str = "elup1"
+    cru_trans_var_activation: str = "elup1"
+    cru_trans_covar: float = 0.1
+    cru_initial_state_variance: float = 10.0
     cru_num_basis: int = 15
     cru_bandwidth: int = 3
     cru_t_sensitive_trans_net: bool = False

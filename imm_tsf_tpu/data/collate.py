@@ -93,7 +93,13 @@ def cru_collate(
     batch: list[Chunk], history: float, time_max: float, L_obs: int, L_pred: int
 ) -> dict:
     """CRU path, reference :369-408 — identical to standard but tp stays raw
-    (chunk-relative units)."""
+    (chunk-relative units).
+
+    TPU deviation: pad time entries REPEAT the last real time (the reference
+    zero-pads to the batch max, which makes its Kalman recursion evolve the
+    state backward through t=0 at pad positions — a batch-composition-
+    dependent artifact). Repeat-padding makes every pad step an exact dt=0
+    identity under the scan, independent of batch composition."""
     B = len(batch)
     D = batch[0].vals.shape[-1]
     out = {
@@ -107,9 +113,11 @@ def cru_collate(
     for i, c in enumerate(batch):
         htt, hv, hm, ptt, pv, pm = _split_hist_pred(c, history)
         n, p = len(htt), len(ptt)
+        out["observed_tp"][i] = htt[-1] if n else 0.0
         out["observed_tp"][i, :n] = htt
         out["observed_data"][i, :n] = hv
         out["observed_mask"][i, :n] = hm
+        out["tp_to_predict"][i] = ptt[-1] if p else 0.0
         out["tp_to_predict"][i, :p] = ptt
         out["data_to_predict"][i, :p] = pv
         out["mask_predicted_data"][i, :p] = pm

@@ -1,0 +1,238 @@
+"""CRU — Continuous Recurrent Units (continuous-discrete Kalman filter).
+
+Behavioral parity with reference models/CRU.py + lib/cru_components/:
+  - wrapper concatenates history + future times, zero future values,
+    obs_valid = any(mask) for history / False for future (models/CRU.py:71-97)
+  - encoder: 3x(Linear+ReLU+LayerNorm) -> L2-normalized latent mean +
+    'square' variance head (cru_models.py:90-105, cru_encoder.py:72-99)
+  - cell: elementwise factorized-covariance Kalman update
+    (CRUCell.py:277-314), locally-linear banded-basis transition mixed by
+    a softmax coefficient net (:189-277), continuous prediction via
+    matrix exponential of A*dt and the Van Loan matrix-fraction prior
+    covariance (:357-391,:440-500)
+  - learnable elup1 initial covariance (CRU_Module.py:130-142)
+  - decoder: mean head 3x(Linear+ReLU+LayerNorm) over posterior means
+    (cru_models.py:107-127); the variance head receives no gradient in the
+    reference flow (out_var unused) and is omitted
+
+TPU redesign: the reference's Python loop over T steps (CRULayer.py:74-99)
+is one lax.scan; the 2*lsd Van Loan block expm (64x64 at default lsd=32)
+is batched jax.scipy.linalg.expm inside the scan (SURVEY.md §7 hard part 7).
+Pad steps are exact identities thanks to repeat-padded timestamps (dt=0).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..ode.nets import dense, dense_params
+
+
+def _elup1(x):
+    return jnp.log(jnp.exp(x) + 1.0)  # reference CRUCell.py:61-67
+
+
+def _elup1_inv(x):
+    return np.log(np.exp(x) - 1.0)
+
+
+def _var_act(x, kind):
+    if kind == "exp":
+        return jnp.exp(x)
+    if kind == "relu":
+        return jnp.maximum(x, 0.0)
+    if kind == "square":
+        return jnp.square(x)
+    if kind == "abs":
+        return jnp.abs(x)
+    return jnp.where(x < 0.0, jnp.exp(x), x + 1.0)  # elup1 (encoder variant)
+
+
+class CRU(nn.Module):
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, tp_to_predict, observed_data, observed_tp, observed_mask,
+                 train: bool = False):
+        cfg = self.cfg
+        C = cfg.input_dim
+        lsd = cfg.cru_lsd or cfg.hid_dim  # latent state dim
+        lod = lsd // 2  # latent observation dim
+        hidden = cfg.cru_hidden_units or cfg.hid_dim
+        num_basis = cfg.cru_num_basis
+        bandwidth = cfg.cru_bandwidth
+
+        B, L_hist, _ = observed_data.shape
+        Lp = tp_to_predict.shape[1]
+
+        # ---- wrapper assembly (models/CRU.py:80-93) ----
+        all_tp = jnp.concatenate([observed_tp, tp_to_predict], axis=1)  # [B, T]
+        all_data = jnp.concatenate(
+            [observed_data, jnp.zeros((B, Lp, C))], axis=1
+        )
+        hist_valid = observed_mask.any(axis=-1)
+        all_valid = jnp.concatenate(
+            [hist_valid, jnp.zeros((B, Lp), bool)], axis=1
+        )
+        T = all_tp.shape[1]
+
+        # ---- encoder (TimeDistributed over T) ----
+        def mlp3(name, d_in):
+            ps = []
+            d = d_in
+            for i in range(3):
+                ps.append((dense_params(self, f"{name}_fc{i}", d, hidden,
+                                        init=nn.initializers.lecun_normal()),
+                           (self.param(f"{name}_ln{i}_scale", nn.initializers.ones,
+                                       (hidden,)),
+                            self.param(f"{name}_ln{i}_bias", nn.initializers.zeros,
+                                       (hidden,)))))
+                d = hidden
+            return ps
+
+        def mlp3_apply(ps, x):
+            for (dp, (g, b)) in ps:
+                x = nn.relu(dense(dp, x))
+                mu = x.mean(-1, keepdims=True)
+                var = ((x - mu) ** 2).mean(-1, keepdims=True)
+                x = (x - mu) / jnp.sqrt(var + 1e-5) * g + b
+            return x
+
+        enc_hidden = mlp3("enc", C)
+        enc_mean_p = dense_params(self, "enc_mean", hidden, lod,
+                                  init=nn.initializers.lecun_normal())
+        enc_var_p = dense_params(self, "enc_logvar", hidden, lod,
+                                 init=nn.initializers.lecun_normal())
+
+        h = mlp3_apply(enc_hidden, all_data)
+        y_mean = dense(enc_mean_p, h)
+        # L2 "post" normalization (cru_encoder.py:83); max-guard keeps the
+        # gradient finite at exactly-zero rows (the zero-padded future block)
+        sq = jnp.maximum((y_mean ** 2).sum(-1, keepdims=True), 1e-16)
+        y_mean = y_mean / jnp.maximum(jnp.sqrt(sq), 1e-8)
+        y_var = _var_act(dense(enc_var_p, h), cfg.cru_enc_var_activation)
+
+        # ---- transition model params (CRUCell.py:190-236) ----
+        band = np.triu(np.ones((lod, lod), np.float32), -bandwidth) * np.tril(
+            np.ones((lod, lod), np.float32), bandwidth
+        )
+        idx0, idx1 = np.nonzero(band)
+        n_entries = len(idx0)
+        tm_basis = [
+            self.param(f"tm_{k}_basis", nn.initializers.zeros, (num_basis, n_entries))
+            for k in ("11", "12", "21", "22")
+        ]
+        coeff_p = dense_params(self, "coefficient_net", lsd, num_basis,
+                               init=nn.initializers.lecun_normal())
+        log_trans_noise = self.param(
+            "log_transition_noise",
+            lambda key: jnp.full((1, lsd), _elup1_inv(cfg.cru_trans_covar),
+                                 jnp.float32),
+        )
+        trans_var = _elup1(log_trans_noise)  # [1, lsd] (default elup1)
+
+        log_icu = self.param(
+            "log_icu",
+            lambda key: jnp.full((1, lod), _elup1_inv(cfg.cru_initial_state_variance),
+                                 jnp.float32),
+        )
+        log_icl = self.param(
+            "log_icl",
+            lambda key: jnp.full((1, lod), _elup1_inv(cfg.cru_initial_state_variance),
+                                 jnp.float32),
+        )
+
+        def unflatten(flat):  # [B, n_entries] -> [B, lod, lod]
+            tm = jnp.zeros((flat.shape[0], lod, lod), flat.dtype)
+            return tm.at[:, idx0, idx1].set(flat)
+
+        def cell_step(carry, inp):
+            prior_mean, cu, cl, cs = carry  # [B,lsd], [B,lod]x3
+            obs, obs_var, valid, dt = inp
+
+            # -- update (CRUCell.py:277-314) --
+            denom = cu + obs_var
+            q_upper = cu / denom
+            q_lower = cs / denom
+            residual = obs - prior_mean[:, :lod]
+            new_mean = prior_mean + jnp.concatenate(
+                [q_upper * residual, q_lower * residual], axis=-1
+            )
+            covar_factor = 1 - q_upper
+            ncu_u = covar_factor * cu
+            ncl_u = cl - q_lower * cs
+            ncs_u = covar_factor * cs
+            v = valid[:, None].astype(new_mean.dtype)
+            post_mean = v * new_mean + (1 - v) * prior_mean
+            post_cu = v * ncu_u + (1 - v) * cu
+            post_cl = v * ncl_u + (1 - v) * cl
+            post_cs = v * ncs_u + (1 - v) * cs
+
+            # -- continuous predict (CRUCell.py:440-500) --
+            coeff = nn.softmax(dense(coeff_p, post_mean), axis=-1)  # [B, K]
+            tms = [unflatten(coeff @ basis) for basis in tm_basis]
+            A = jnp.concatenate(
+                [jnp.concatenate([tms[0], tms[1]], -1),
+                 jnp.concatenate([tms[2], tms[3]], -1)], -2
+            )  # [B, lsd, lsd]
+            dt_b = dt[:, None, None]
+            exp_A = jax.scipy.linalg.expm(A * dt_b)
+            prior_mean_next = jnp.einsum("bij,bj->bi", exp_A, post_mean)
+
+            Q = jax.vmap(jnp.diag)(jnp.broadcast_to(trans_var, (post_mean.shape[0], lsd)))
+            # full covariance from factorized diagonals
+            cu_d = jax.vmap(jnp.diag)(post_cu)
+            cl_d = jax.vmap(jnp.diag)(post_cl)
+            cs_d = jax.vmap(jnp.diag)(post_cs)
+            post_covar = jnp.concatenate(
+                [jnp.concatenate([cu_d, cs_d], -1),
+                 jnp.concatenate([cs_d, cl_d], -1)], -2
+            )
+            # Van Loan block (CRUCell.py:369-391)
+            Bm = jnp.concatenate(
+                [jnp.concatenate([A, Q], -1),
+                 jnp.concatenate([jnp.zeros_like(Q), -jnp.swapaxes(A, -2, -1)], -1)],
+                -2,
+            )
+            exp_B = jax.scipy.linalg.expm(Bm * dt_b)
+            M2 = exp_B[:, :lsd, lsd:]
+            Cm = exp_A @ post_covar + M2
+            prior_covar = Cm @ jnp.swapaxes(exp_A, -2, -1)
+
+            diag = lambda m: jnp.diagonal(m, axis1=-2, axis2=-1)
+            ncu = diag(prior_covar[:, :lod, :lod])
+            ncl = diag(prior_covar[:, lod:, lod:])
+            ncs = diag(prior_covar[:, :lod, lod:])
+            return (prior_mean_next, ncu, ncl, ncs), (post_mean, post_cu, post_cl, post_cs)
+
+        init_carry = (
+            jnp.zeros((B, lsd)),
+            jnp.broadcast_to(_elup1(log_icu), (B, lod)),
+            jnp.broadcast_to(_elup1(log_icl), (B, lod)),
+            jnp.zeros((B, lod)),
+        )
+        dts = jnp.concatenate(
+            [all_tp[:, 1:] - all_tp[:, :-1], jnp.ones((B, 1))], axis=1
+        )  # [B, T]; final dt=1 as in CRULayer.py:77-80
+        xs = (
+            y_mean.transpose(1, 0, 2),
+            y_var.transpose(1, 0, 2),
+            all_valid.transpose(1, 0),
+            dts.transpose(1, 0),
+        )
+        _, (post_means, post_cus, post_cls, post_css) = jax.lax.scan(
+            cell_step, init_carry, xs
+        )
+        post_means = post_means.transpose(1, 0, 2)  # [B, T, lsd]
+
+        # ---- decoder mean head (cru_models.py:107-127) ----
+        dec_hidden = mlp3("dec_mean", lsd)
+        dec_out_p = dense_params(self, "dec_out_mean", hidden, C,
+                                 init=nn.initializers.lecun_normal())
+        out_mean = dense(dec_out_p, mlp3_apply(dec_hidden, post_means))  # [B,T,C]
+
+        return out_mean[:, L_hist:, :]
