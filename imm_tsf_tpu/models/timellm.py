@@ -1,0 +1,190 @@
+"""TimeLLM — frozen-LLM reprogramming forecaster, irregular-adapted.
+
+Behavioral parity with reference models/TimeLLM.py:64-278: masked
+normalization, value-patches + timestamp-patches through ONE shared
+PatchEmbedding (:239-253), vocab->ts_vocab prototype mapping + cross-attn
+ReprogrammingLayer (:32-61,:256-257), prompt ++ patches through the frozen
+LLM (:260-263), FlattenHead over the first d_ff output dims (:266-270).
+
+TPU redesign of the prompt (the reference renders per-batch stats
+min/max/median/trend/top-lags to TEXT and tokenizes at runtime,
+:168-195 — host round-trips that cannot live under jit):
+  - the constant domain description is tokenized ONCE at model build
+    (static ids embedded through the frozen wte)
+  - the numeric stats are injected as learned pseudo-token embeddings
+    (Dense: stats -> n_stat_tokens x d_llm), preserving the conditioning
+    mechanism fully on-device and differentiably.
+
+The LLM lives under the `frozen_llm` param subtree, which
+training/optim.py pins to zero updates.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..layers.embed import PatchEmbedding
+from ..llm.gpt2 import GPT2Model, GPT2_SIZES
+from ..llm.llama import LLAMA_SIZES, LlamaModel
+from ..llm.bert import BertConfig, BertModel
+from .base import masked_norm, pad_time
+
+N_STAT_TOKENS = 4
+N_PROMPT_TOKENS = 32  # static length of the domain-description prompt
+
+
+def _llm_and_dim(name: str, layers: int):
+    if name == "GPT2":
+        return GPT2Model(GPT2_SIZES["GPT2"], n_layers=layers, name="frozen_llm"), 768
+    if name == "BERT":
+        return BertModel(BertConfig(), n_layers=layers, name="frozen_llm"), 768
+    if name == "LLAMA":
+        return LlamaModel(LLAMA_SIZES["Llama"], n_layers=layers, name="frozen_llm"), 4096
+    raise ValueError("Unknown llm_model for TimeLLM")
+
+
+class TimeLLM(nn.Module):
+    cfg: Config
+
+    @nn.compact
+    def __call__(self, tp_to_predict, observed_data, observed_tp, observed_mask,
+                 train: bool = False):
+        cfg = self.cfg
+        seq_len, pred_len, N = cfg.input_len, cfg.pred_len, cfg.input_dim
+        patch_len = cfg.input_token_len
+        stride = cfg.stride  # dataset stride (reference :75)
+        top_k = cfg.top_k
+
+        llm, d_llm = _llm_and_dim(cfg.llm_model_timellm, cfg.llm_layers_timellm)
+
+        observed_data = pad_time(observed_data, seq_len)
+        observed_mask = pad_time(observed_mask, seq_len)
+        observed_tp = pad_time(observed_tp, seq_len)
+        Lp = tp_to_predict.shape[1]
+        B = observed_data.shape[0]
+
+        x, means, stdev = masked_norm(observed_data, observed_mask)
+
+        # ---- stats (reference :169-181), numeric form ----
+        mins = x.min(axis=1)
+        maxs = x.max(axis=1)
+        meds = jnp.median(x, axis=1)
+        trend = jnp.diff(x, axis=1).sum(axis=1).mean(axis=1, keepdims=True)
+        F = jnp.fft.rfft(x.transpose(0, 2, 1), axis=-1)
+        corr = jnp.fft.irfft(F * jnp.conj(F), n=seq_len, axis=-1).mean(axis=1)
+        _, lags = jax.lax.top_k(corr, min(top_k, seq_len))
+        stats = jnp.concatenate(
+            [mins, maxs, meds, trend, lags.astype(jnp.float32)], axis=-1
+        )  # [B, 3N+1+top_k]
+
+        # ---- prompt: static domain tokens + learned stat pseudo-tokens ----
+        domain_ids = self.param(
+            "domain_prompt_ids",
+            lambda key: _domain_token_ids(cfg, N_PROMPT_TOKENS),
+        )
+        # embedded through the frozen wte (kept out of the gradient path)
+        domain_emb = jax.lax.stop_gradient(
+            llm.get_input_embeddings(
+                jnp.broadcast_to(domain_ids.astype(jnp.int32)[None],
+                                 (B, N_PROMPT_TOKENS))
+            )
+        )
+        stat_tokens = nn.Dense(N_STAT_TOKENS * d_llm, name="stat_prompt")(stats)
+        stat_tokens = stat_tokens.reshape(B, N_STAT_TOKENS, d_llm)
+        prompt_embeds = jnp.concatenate([domain_emb, stat_tokens], axis=1)
+
+        # ---- patch-embed values and timestamps (shared embedder, :239-253) ----
+        patch_embedding = PatchEmbedding(
+            cfg.d_model, patch_len, stride, stride, cfg.dropout,
+            name="patch_embedding",
+        )
+        x_ts = x.transpose(0, 2, 1)  # [B, N, L]
+        x_tp = jnp.repeat(observed_tp[:, None, :], N, axis=1)
+        if x_ts.shape[-1] < patch_len:
+            padn = patch_len - x_ts.shape[-1]
+            x_ts = jnp.pad(x_ts, ((0, 0), (0, 0), (0, padn)))
+            x_tp = jnp.pad(x_tp, ((0, 0), (0, 0), (0, padn)))
+        ts_out, n_vars = patch_embedding(x_ts, train=train)  # [B*N, Pn, d_model]
+        tp_out, _ = patch_embedding(x_tp, train=train)
+        rep_in = ts_out + tp_out
+        Pn = rep_in.shape[1]
+
+        # ---- reprogramming (:32-61) ----
+        word_emb = jax.lax.stop_gradient(llm.word_embedding_table())
+        src_emb = nn.Dense(cfg.ts_vocab_size, name="mapping_layer")(
+            word_emb.T
+        ).T  # [num_tokens, d_llm]
+        rep_out = ReprogrammingLayer(
+            cfg.d_model, cfg.n_heads, d_llm=d_llm, dropout=cfg.dropout,
+            name="reprogramming_layer",
+        )(rep_in, src_emb, src_emb, train=train)  # [B*N, Pn, d_llm]
+
+        # ---- through the frozen LLM (:260-263) ----
+        rep_out = rep_out.reshape(B, n_vars, Pn, d_llm)
+        rep_out = rep_out.transpose(0, 2, 1, 3).reshape(B, Pn * n_vars, d_llm)
+        llm_in = jnp.concatenate([prompt_embeds, rep_out], axis=1)
+        llm_out = llm(inputs_embeds=llm_in)
+
+        total_ts = Pn * n_vars
+        dec = llm_out[:, -total_ts:, : cfg.d_ff]
+        dec = dec.reshape(B, Pn, n_vars, cfg.d_ff)
+        dec = dec.transpose(0, 2, 3, 1).reshape(B * n_vars, cfg.d_ff, Pn)
+
+        # FlattenHead (:19-29)
+        flat = dec.reshape(B * n_vars, cfg.d_ff * Pn)
+        out = nn.Dense(pred_len, name="output_projection")(flat)
+        out = nn.Dropout(cfg.dropout)(out, deterministic=not train)
+        out = out.reshape(B, n_vars, pred_len).transpose(0, 2, 1)
+
+        if cfg.use_norm:
+            out = out * stdev + means
+        return out[:, :Lp, :]
+
+
+class ReprogrammingLayer(nn.Module):
+    """Cross-attention from TS patches to text prototypes (reference :32-61)."""
+
+    d_model: int
+    n_heads: int
+    d_llm: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, Q, K_src, V_src, train: bool = False):
+        Bm, Lq, _ = Q.shape
+        H = self.n_heads
+        d_keys = self.d_model // H
+        q = nn.Dense(d_keys * H, name="query_projection")(Q).reshape(Bm, Lq, H, -1)
+        k = nn.Dense(d_keys * H, name="key_projection")(K_src).reshape(
+            K_src.shape[0], H, -1
+        )
+        v = nn.Dense(d_keys * H, name="value_projection")(V_src).reshape(
+            V_src.shape[0], H, -1
+        )
+        Ek = k.shape[-1]
+        scores = jnp.einsum("blhe,she->bhls", q, k,
+                            preferred_element_type=jnp.float32) / jnp.sqrt(Ek)
+        A = nn.softmax(scores, axis=-1)
+        A = nn.Dropout(self.dropout)(A, deterministic=not train)
+        out = jnp.einsum("bhls,she->blhe", A, v).reshape(Bm, Lq, -1)
+        return nn.Dense(self.d_llm, name="out_projection")(out)
+
+
+def _domain_token_ids(cfg: Config, n_tokens: int):
+    """Tokenize the constant domain description once at init (host)."""
+    try:
+        from ..llm.loader import load_tokenizer
+
+        tok = load_tokenizer(
+            "GPT2" if cfg.llm_model_timellm == "GPT2" else
+            ("BERT" if cfg.llm_model_timellm == "BERT" else "Llama")
+        )
+        ids, _ = tok([cfg.domain_des], max_length=n_tokens)
+        return jnp.asarray(ids[0], jnp.float32)  # stored as float param, cast back
+    except Exception:
+        rng = np.random.default_rng(0)
+        return jnp.asarray(rng.integers(0, 1000, n_tokens), jnp.float32)

@@ -8,13 +8,29 @@ AdamW), so the optax chain is clip -> add_decayed_weights -> adam-scale.
 
 from __future__ import annotations
 
+import jax
 import optax
+
+FROZEN_SUBTREE = "frozen_llm"  # params under this name get zero updates
+# (reference freezes LLM params via requires_grad=False, load_llm.py:117-118
+#  and models/TimeLLM.py:97-99)
+
+
+def _label_tree(params):
+    def label(path, leaf):
+        names = {getattr(p, "key", getattr(p, "name", None)) for p in path}
+        return "freeze" if FROZEN_SUBTREE in names else "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
 
 
 def make_optimizer(lr: float, w_decay: float, clip_norm: float = 1.0):
-    return optax.chain(
+    train_tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.add_decayed_weights(w_decay) if w_decay else optax.identity(),
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale(-lr),
+    )
+    return optax.multi_transform(
+        {"train": train_tx, "freeze": optax.set_to_zero()}, _label_tree
     )

@@ -1,0 +1,119 @@
+"""LLM stack: GPT-2/BERT/Llama forwards, frozen-subtree optimizer masking,
+batched note embedding, TimeLLM forward + train step."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from imm_tsf_tpu.config import Config, MODEL_PRESETS
+from imm_tsf_tpu.models import get_model
+from imm_tsf_tpu.training.optim import make_optimizer
+
+from bench import build_batch
+
+
+def small_gpt2():
+    from imm_tsf_tpu.llm.gpt2 import GPT2Config, GPT2Model
+
+    return GPT2Model(GPT2Config(vocab_size=128, n_positions=64, n_embd=32,
+                                n_layer=2, n_head=2))
+
+
+def test_gpt2_forward_causal():
+    model = small_gpt2()
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 10)))
+    v = model.init(jax.random.PRNGKey(0), ids)
+    out = model.apply(v, ids)
+    assert out.shape == (2, 10, 32)
+    # causality: changing a later token must not affect earlier outputs
+    ids2 = ids.at[:, 7].set((ids[:, 7] + 1) % 128)
+    out2 = model.apply(v, ids2)
+    np.testing.assert_allclose(np.asarray(out[:, :7]), np.asarray(out2[:, :7]),
+                               atol=1e-5)
+    assert np.abs(np.asarray(out[:, 7:]) - np.asarray(out2[:, 7:])).max() > 1e-6
+
+
+def test_bert_padding_mask():
+    from imm_tsf_tpu.llm.bert import BertConfig, BertModel
+
+    model = BertModel(BertConfig(vocab_size=128, max_position_embeddings=32,
+                                 hidden_size=32, num_hidden_layers=2,
+                                 num_attention_heads=2, intermediate_size=64))
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 10)))
+    mask = jnp.ones((2, 10), bool).at[0, 6:].set(False)
+    v = model.init(jax.random.PRNGKey(0), ids, attn_mask=mask)
+    out = model.apply(v, ids, attn_mask=mask)
+    # padded content must not influence unpadded positions
+    ids2 = ids.at[0, 8].set((ids[0, 8] + 1) % 128)
+    out2 = model.apply(v, ids2, attn_mask=mask)
+    np.testing.assert_allclose(np.asarray(out[0, :6]), np.asarray(out2[0, :6]),
+                               atol=1e-5)
+
+
+def test_llama_forward():
+    from imm_tsf_tpu.llm.llama import LlamaConfig, LlamaModel
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2)
+    model = LlamaModel(cfg)
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 128, (2, 10)))
+    v = model.init(jax.random.PRNGKey(0), ids)
+    out = model.apply(v, ids)
+    assert out.shape == (2, 10, 32)
+    assert not np.isnan(np.asarray(out)).any()
+
+
+def test_embed_notes_batched():
+    from imm_tsf_tpu.llm.loader import HashTokenizer, embed_notes
+
+    model = small_gpt2()
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    tok = HashTokenizer(128)
+    notes = [["a note here", "another note"], [], ["one"]]
+    emb, mask = embed_notes(notes, model, v["params"], tok, max_length=16)
+    assert emb.shape == (3, 2, 32)
+    np.testing.assert_array_equal(mask, [[True, True], [False, False], [True, False]])
+    assert (emb[1] == 0).all()  # empty-notes sample zeroed
+    assert not np.isnan(emb).any()
+
+
+def _timellm_cfg():
+    cfg = Config(model="TimeLLM", input_dim=2, input_len=16, pred_len=8,
+                 batch_size=2, stride=4, history=16)
+    return cfg.replace(**MODEL_PRESETS["TimeLLM"]).replace(
+        llm_layers_timellm=2, input_token_len=8
+    )
+
+
+def test_timellm_frozen_llm_not_updated():
+    cfg = _timellm_cfg()
+    b = build_batch(B=2, L=16, Lp=8, C=2, N=2, d_txt=8, seed=9)
+    model = get_model(cfg)
+    args = (b["tp_to_predict"], b["observed_data"], b["observed_tp"], b["observed_mask"])
+    v = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                   *args)
+    params = v["params"]
+    tx = make_optimizer(1e-3, 0.01)
+    opt_state = tx.init(params)
+
+    def loss_fn(p):
+        pred = model.apply({"params": p}, *args, train=True,
+                           rngs={"dropout": jax.random.PRNGKey(2)})
+        return ((pred - b["data_to_predict"]) ** 2 * b["mask_predicted_data"]).sum()
+
+    grads = jax.grad(loss_fn)(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    # frozen LLM unchanged
+    before = jax.tree_util.tree_leaves(params["frozen_llm"])
+    after = jax.tree_util.tree_leaves(new_params["frozen_llm"])
+    for x, y in zip(before, after):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # trainable head changed
+    assert np.abs(
+        np.asarray(new_params["output_projection"]["kernel"])
+        - np.asarray(params["output_projection"]["kernel"])
+    ).max() > 0
