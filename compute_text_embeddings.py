@@ -1,0 +1,102 @@
+"""Offline text-embedding precompute (reference compute_text_embeddings.py:8-148).
+
+Per dataset/entity: read text.csv, compute note times relative to the
+FIRST NUMERIC timestamp in days (:70-71), embed every note with the
+frozen LLM, save `text_embeddings_model={llm}_layers={n|full}_maxlen={L}.pt`
+(torch format for artifact compatibility; .npz fallback without torch).
+
+TPU redesign (the BASELINE.md north-star stage): the reference embeds ONE
+note per LLM forward with max_length padding (:79-83) — here all notes of
+an entity go through length-bucketed batched forwards (llm/loader.py
+embed_notes), and a tokens/sec counter is reported.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+import pandas as pd
+
+
+def compute_text_embeddings(
+    data_name: str,
+    llm_model_fusion: str = "GPT2",
+    llm_layers_fusion=None,
+    max_length: int = 1024,
+    data_root: str = "./data",
+    model_dir: str | None = None,
+    overwrite: bool = False,
+    token_batch: int = 64,
+):
+    from imm_tsf_tpu.data.dataset import embeddings_filename
+    from imm_tsf_tpu.llm.loader import load_llm
+
+    model, params, tokenizer = load_llm(
+        llm_model_fusion, llm_layers_fusion, model_dir=model_dir
+    )
+    from imm_tsf_tpu.llm.loader import embed_notes
+
+    proc = os.path.join(data_root, data_name, "processed")
+    fname = embeddings_filename(llm_model_fusion, llm_layers_fusion, max_length)
+    total_tokens = 0
+    t0 = time.perf_counter()
+    for rec in sorted(os.listdir(proc)):
+        ent = os.path.join(proc, rec)
+        if not os.path.isdir(ent):
+            continue
+        out_path = os.path.join(ent, fname)
+        if os.path.exists(out_path) and not overwrite:  # skip-if-exists (:63-66)
+            print(f"[skip] {rec}")
+            continue
+        text_path = os.path.join(ent, "text.csv")
+        ts_path = os.path.join(ent, "time_series.csv")
+        if not (os.path.isfile(text_path) and os.path.isfile(ts_path)):
+            continue
+        tdf = pd.read_csv(text_path, parse_dates=["date_time"]).sort_values("date_time")
+        cols = [c for c in tdf.columns if c not in ("date_time", "record_id")]
+        ts_base = pd.to_datetime(pd.read_csv(ts_path)["date_time"]).min()
+        notes, rel_times = [], []
+        for _, row in tdf.iterrows():
+            if pd.isna(row[cols[0]]):
+                continue
+            notes.append(str(row[cols[0]]))
+            rel_times.append((row["date_time"] - ts_base).total_seconds() / 86400.0)
+        if not notes:
+            continue
+        emb, _ = embed_notes([notes], model, params, tokenizer,
+                             max_length=max_length, token_batch=token_batch)
+        emb = emb[0]  # [N, d]
+        total_tokens += len(notes) * max_length
+        rel = np.asarray(rel_times, np.float32)
+        try:
+            import torch
+
+            torch.save({"embeddings": torch.from_numpy(emb),
+                        "rel_times": torch.from_numpy(rel)}, out_path)
+        except ImportError:
+            np.savez(out_path[:-3] + ".npz", embeddings=emb, rel_times=rel)
+        print(f"[done] {rec}: {len(notes)} notes")
+    dt = time.perf_counter() - t0
+    if total_tokens:
+        print(f"embed throughput: {total_tokens / dt:.0f} tokens/sec")
+    return total_tokens / dt if total_tokens else 0.0
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datasets", nargs="+", default=["EPA-Air"])
+    ap.add_argument("--llm_model_fusion", default="GPT2")
+    ap.add_argument("--llm_layers_fusion", type=int, default=None)
+    ap.add_argument("--max_length", type=int, default=1024)
+    ap.add_argument("--data_root", default="./data")
+    ap.add_argument("--model_dir", default=None)
+    ap.add_argument("--overwrite", action="store_true")
+    args = ap.parse_args()
+    for ds in args.datasets:
+        compute_text_embeddings(
+            ds, args.llm_model_fusion, args.llm_layers_fusion, args.max_length,
+            args.data_root, args.model_dir, args.overwrite,
+        )

@@ -111,6 +111,14 @@ def _pad_batch_dim(out: dict, n: int, B: int) -> dict:
     return padded
 
 
+def get_input_and_pred_len(data_obj: dict):
+    """API-compat shim for the reference's epoch-scanning helper
+    (lib/parse_datasets.py:479-512). The static-shape pipeline knows the
+    maxima at dataset build time — O(1) instead of a full epoch scan."""
+    b = data_obj["ds"].bounds
+    return b.max_obs_len, b.max_pred_len
+
+
 def parse_datasets(cfg: Config, verbose: bool = True) -> dict:
     """Build dataset + loaders; returns the reference's data_obj contract
     (lib/parse_datasets.py:847-854) plus static shape bounds.

@@ -54,6 +54,7 @@ class FusionModel(nn.Module):
                 d_model_llm=d_model_llm,
                 recency_sigma=cfg.recency_sigma,
                 dropout=cfg.dropout,
+                use_pallas=cfg.use_pallas,
             )
         else:
             self.ttf = TTF_T2V_XAttn(

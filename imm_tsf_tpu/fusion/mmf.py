@@ -33,7 +33,7 @@ class MMF_GR_Add(nn.Module):
 
         h = nn.RNN(nn.GRUCell(self.hidden_dim), name="gru")(x)  # [B,T,hidden]
         delta_y = nn.Dense(C, name="residual_head")(h)
-        delta = nn.LayerNorm(name="layer_norm")(delta_y)
+        delta = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(delta_y)
         delta = nn.Dropout(self.dropout)(delta, deterministic=not train)
 
         g = nn.sigmoid(nn.Dense(C, name="gate_net")(x))
@@ -67,7 +67,7 @@ class MMF_XAttn_Add(nn.Module):
         attn_out = jnp.where(mask_attn, attn_out, 0.0)
 
         delta_y = nn.Dense(C, name="residual_head")(attn_out)
-        delta = nn.LayerNorm(name="layer_norm")(delta_y)
+        delta = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(delta_y)
         delta = nn.Dropout(self.dropout)(delta, deterministic=not train)
         mask = jnp.broadcast_to(M_txt[:, :, None], (B, T, C))
         delta = jnp.where(mask, delta, 0.0)

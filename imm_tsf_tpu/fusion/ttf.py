@@ -21,6 +21,7 @@ TPU redesign notes:
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..layers.attention import MultiHeadAttention, masked_softmax
@@ -37,6 +38,7 @@ class TTF_RecAvg(nn.Module):
     d_model_llm: int  # LLM hidden size (input embedding dim)
     recency_sigma: float = 1.0
     dropout: float = 0.1
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, notes_emb, tau, t_hat, notes_mask=None, train: bool = False):
@@ -58,15 +60,19 @@ class TTF_RecAvg(nn.Module):
             lambda key: jnp.log(jnp.asarray(self.recency_sigma, jnp.float32)),
         )
         sigma = jnp.exp(log_sigma)
-        delta = jnp.clip(t_hat[:, None, :] - tau[:, :, None], 0, None)  # [B,N,T_f]
-        w = jnp.exp(-((delta / sigma) ** 2))
-        w = w * note_mask.astype(w.dtype)[:, :, None]
+        mask_f = note_mask.astype(V.dtype)
+        if self.use_pallas and jax.default_backend() == "tpu":
+            from ..ops.pallas.fusion_kernels import recency_weighted_average
 
-        E_wsum = jnp.einsum("bnt,bnd->btd", w, V)
-        denom = jnp.clip(w.sum(axis=1), 1e-6, None)  # [B,T_f]
-        E_raw = E_wsum / denom[:, :, None]
+            E_raw = recency_weighted_average(tau, t_hat, V, mask_f, sigma)
+        else:
+            delta = jnp.clip(t_hat[:, None, :] - tau[:, :, None], 0, None)  # [B,N,T_f]
+            w = jnp.exp(-((delta / sigma) ** 2)) * mask_f[:, :, None]
+            E_wsum = jnp.einsum("bnt,bnd->btd", w, V)
+            denom = jnp.clip(w.sum(axis=1), 1e-6, None)  # [B,T_f]
+            E_raw = E_wsum / denom[:, :, None]
 
-        E = nn.LayerNorm(name="layer_norm")(E_raw)
+        E = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(E_raw)
         E = nn.Dropout(self.dropout)(E, deterministic=not train)
         E_txt = nn.Dense(self.d_txt, name="proj")(E)
         M_txt = note_mask.any(axis=1, keepdims=True)  # [B,1]
@@ -128,7 +134,7 @@ class TTF_T2V_XAttn(nn.Module):
         E_attn = jnp.where(M_txt[:, :, None], E_attn, 0.0)
 
         Q2 = jnp.broadcast_to(Q_param, (B, T_f, self.d_txt))
-        E = nn.LayerNorm(name="layer_norm")(E_attn + Q2)
+        E = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(E_attn + Q2)
         E = nn.Dropout(self.dropout)(E, deterministic=not train)
         E_txt = nn.Dense(self.d_txt, name="proj_out")(E)
         return E_txt, M_txt

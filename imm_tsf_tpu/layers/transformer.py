@@ -81,10 +81,10 @@ class EncoderLayer(nn.Module):
         drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
         new_x = self.attention(x, x, x, attn_mask=attn_mask, train=train)
         x = x + drop(new_x)
-        y = x = nn.LayerNorm(name="norm1")(x)
+        y = x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         y = drop(act(nn.Dense(d_ff, name="conv1")(y)))
         y = drop(nn.Dense(self.d_model, name="conv2")(y))
-        return nn.LayerNorm(name="norm2")(x + y)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + y)
 
 
 class ConvLayer(nn.Module):
@@ -134,7 +134,7 @@ class Encoder(nn.Module):
             for attn_layer in self.attn_layers:
                 x = attn_layer(x, attn_mask=attn_mask, train=train)
         if self.use_norm:
-            x = nn.LayerNorm(name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         return x
 
 
@@ -154,12 +154,12 @@ class DecoderLayer(nn.Module):
         act = nn.relu if self.activation == "relu" else nn.gelu
         drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
         x = x + drop(self.self_attention(x, x, x, attn_mask=x_mask, train=train))
-        x = nn.LayerNorm(name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + drop(self.cross_attention(x, cross, cross, attn_mask=cross_mask, train=train))
-        y = x = nn.LayerNorm(name="norm2")(x)
+        y = x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         y = drop(act(nn.Dense(d_ff, name="conv1")(y)))
         y = drop(nn.Dense(self.d_model, name="conv2")(y))
-        return nn.LayerNorm(name="norm3")(x + y)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(x + y)
 
 
 class Decoder(nn.Module):
@@ -172,7 +172,7 @@ class Decoder(nn.Module):
         for layer in self.layers:
             x = layer(x, cross, x_mask=x_mask, cross_mask=cross_mask, train=train)
         if self.use_norm:
-            x = nn.LayerNorm(name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         if self.projection_dim is not None:
             x = nn.Dense(self.projection_dim, name="projection")(x)
         return x

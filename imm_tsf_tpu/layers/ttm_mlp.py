@@ -45,7 +45,7 @@ class TTMMixerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):  # [B, M, N, D]
         residual = x
-        x = nn.LayerNorm(name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         if self.mode == "patch":
             x = x.transpose(0, 1, 3, 2)  # [B M D N]
         elif self.mode == "channel":

@@ -151,7 +151,7 @@ class TimesNet(nn.Module):
 
         total = seq_len + pred_len
         for i in range(cfg.e_layers):
-            enc_out = nn.LayerNorm(name=f"layer_norm_{i}")(
+            enc_out = nn.LayerNorm(epsilon=1e-5, name=f"layer_norm_{i}")(
                 TimesBlock(cfg, total, name=f"times_block_{i}")(enc_out, train=train)
             )
 

@@ -44,11 +44,11 @@ class TorchTransformerEncoderLayer(nn.Module):
         drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
         attn = MultiHeadAttention(self.d_model, self.n_heads, self.dropout,
                                   name="self_attn")(x, x, x, train=train)
-        x = nn.LayerNorm(name="norm1")(x + drop(attn))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + drop(attn))
         y = nn.Dense(self.dim_feedforward, name="linear1")(x)
         y = drop(nn.relu(y))
         y = nn.Dense(self.d_model, name="linear2")(y)
-        return nn.LayerNorm(name="norm2")(x + drop(y))
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + drop(y))
 
 
 class TPatchGNN(nn.Module):

@@ -1,0 +1,115 @@
+"""Pallas TPU kernels for the fusion hot path.
+
+`recency_weighted_average` fuses TTF_RecAvg's weight computation +
+normalized weighted sum (reference fusions/TTF_RecAvg.py:94-102):
+
+    delta = max(t_hat[t] - tau[n], 0)
+    w     = exp(-(delta/sigma)^2) * note_mask[n]
+    E     = (w^T V) / max(sum_n w, 1e-6)        # [B, T_f, d]
+
+One kernel program per batch element: the [N, T_f] weight tile lives only
+in VMEM (never materialized in HBM) and the weighted sum is a single MXU
+matmul. Backward is a custom VJP in plain XLA (cheap recompute of w).
+
+Used by TTF_RecAvg when Config.use_pallas and running on TPU; a pure-XLA
+path is kept for CPU/interpret and as the autodiff reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _recavg_kernel(sigma_ref, tau_ref, that_ref, v_ref, mask_ref,
+                   out_ref, denom_ref):
+    # full-array VMEM blocks: tau/mask [B, N], t_hat [B, T], V [B, N, d].
+    # The [B, N, T] weight tile exists only in VMEM; the weighted sum is a
+    # batched MXU matmul.
+    sigma = sigma_ref[0]
+    tau = tau_ref[:, :]
+    that = that_ref[:, :]
+    mask = mask_ref[:, :]
+    delta = jnp.maximum(that[:, None, :] - tau[:, :, None], 0.0)
+    w = jnp.exp(-((delta / sigma) ** 2)) * mask[:, :, None]  # [B, N, T]
+    denom = jnp.clip(w.sum(axis=1), 1e-6, None)  # [B, T]
+    e = jax.lax.dot_general(
+        w, v_ref[:, :, :],
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [B, T, d]
+    out_ref[:, :, :] = e / denom[:, :, None]
+    denom_ref[:, :] = denom
+
+
+def _recavg_pallas(tau, t_hat, V, mask, sigma):
+    B, N = tau.shape
+    T = t_hat.shape[1]
+    d = V.shape[-1]
+    sigma_arr = jnp.full((1,), sigma, jnp.float32)
+    interpret = jax.default_backend() != "tpu"
+    vmem = pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    out, denom = pl.pallas_call(
+        _recavg_kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret else vmem,
+            vmem, vmem, vmem, vmem,
+        ],
+        out_specs=[vmem, vmem],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, d), jnp.float32),
+            jax.ShapeDtypeStruct((B, T), jnp.float32),
+        ],
+        interpret=interpret,
+    )(sigma_arr, tau, t_hat, V, mask)
+    return out, denom
+
+
+def _recavg_xla(tau, t_hat, V, mask, sigma):
+    delta = jnp.clip(t_hat[:, None, :] - tau[:, :, None], 0, None)  # [B,N,T]
+    w = jnp.exp(-((delta / sigma) ** 2)) * mask[:, :, None]
+    denom = jnp.clip(w.sum(axis=1), 1e-6, None)  # [B,T]
+    E = jnp.einsum("bnt,bnd->btd", w, V) / denom[:, :, None]
+    return E, denom
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def recency_weighted_average(tau, t_hat, V, mask, sigma):
+    """[B,N] x [B,T] x [B,N,d] x [B,N] x scalar -> E [B,T,d]."""
+    E, _ = _recavg_pallas(tau, t_hat, V, mask, sigma)
+    return E
+
+
+def _fwd(tau, t_hat, V, mask, sigma):
+    E, denom = _recavg_pallas(tau, t_hat, V, mask, sigma)
+    return E, (tau, t_hat, V, mask, sigma, E, denom)
+
+
+def _bwd(res, dE):
+    tau, t_hat, V, mask, sigma, E, denom = res
+    delta = jnp.clip(t_hat[:, None, :] - tau[:, :, None], 0, None)  # [B,N,T]
+    w = jnp.exp(-((delta / sigma) ** 2)) * mask[:, :, None]
+    S = w.sum(axis=1)  # [B,T] (pre-clip)
+    inv = 1.0 / denom  # [B,T]
+
+    dV = jnp.einsum("bnt,btd->bnd", w * inv[:, None, :], dE)
+    # dW[t,d] = dE/denom ; dS = -(E . dE)/denom gated by the clip
+    gate = (S > 1e-6).astype(dE.dtype)
+    dS = -(E * dE).sum(-1) * inv * gate  # [B,T]
+    dw = jnp.einsum("bnd,btd->bnt", V, dE * inv[:, :, None]) + dS[:, None, :]
+
+    dw_dd = w * (-2.0 * delta / (sigma ** 2))  # d w / d delta
+    ddelta = dw * dw_dd
+    pos = (t_hat[:, None, :] - tau[:, :, None] > 0).astype(dE.dtype)
+    dt_hat = (ddelta * pos).sum(axis=1)  # [B,T]
+    dtau = -(ddelta * pos).sum(axis=2)  # [B,N]
+    dsigma = (dw * w * 2.0 * delta ** 2 / (sigma ** 3)).sum()
+    dmask = jnp.zeros_like(mask)
+    return dtau, dt_hat, dV, dmask, dsigma
+
+
+recency_weighted_average.defvjp(_fwd, _bwd)

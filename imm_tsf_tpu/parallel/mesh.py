@@ -14,6 +14,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host bring-up: jax.distributed.initialize. On single-host TPU
+    slices or CPU this is a no-op. Mesh axes then span all global devices
+    (ICI within a slice, DCN across hosts)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(mesh_shape=(), axis_names=("data",)) -> Mesh | None:
     """mesh_shape=() -> None (single device, plain jit)."""
     if not mesh_shape:

@@ -168,6 +168,39 @@ def run_evaluation(eval_step, params, stats, loader, mesh) -> dict:
     return finalize_metrics(acc)
 
 
+class _EmbedNotesLoader:
+    """Wraps a loader to add on-the-fly note embeddings when raw-text fusion
+    is enabled (reference embeds inside the TTF forward,
+    fusions/TTF_RecAvg.py:70-73; here it is a host-side batch preprocessing
+    stage so the fused train step stays jittable)."""
+
+    def __init__(self, base, llm, llm_params, tokenizer, max_length):
+        self.base = base
+        self.llm, self.llm_params = llm, llm_params
+        self.tokenizer, self.max_length = tokenizer, max_length
+
+    def __len__(self):
+        return len(self.base)
+
+    def __iter__(self):
+        from ..llm.loader import embed_notes
+
+        for batch in self.base:
+            emb, note_mask = embed_notes(
+                batch["notes_text"], self.llm, self.llm_params, self.tokenizer,
+                max_length=self.max_length,
+            )
+            N = batch["tau"].shape[1]
+            if emb.shape[1] < N:  # pad note axis to the static ceiling
+                pad = N - emb.shape[1]
+                emb = np.pad(emb, ((0, 0), (0, pad), (0, 0)))
+                note_mask = np.pad(note_mask, ((0, 0), (0, pad)))
+            batch = dict(batch)
+            batch["notes_embeddings"] = emb[:, :N]
+            batch["notes_mask"] = note_mask[:, :N].astype(np.float32)
+            yield batch
+
+
 def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
               checkpoint_dir: str | None = None) -> dict:
     """Train one (dataset, model, fusion) combo; returns best-epoch test
@@ -177,6 +210,18 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
     if data_obj is None:
         data_obj = parse_datasets(cfg, verbose=False)
     cfg = data_obj["cfg"]
+
+    if cfg.enable_text and not cfg.use_text_embeddings:
+        from ..llm.loader import load_llm
+
+        llm, llm_params, tokenizer = load_llm(
+            cfg.llm_model_fusion, cfg.llm_layers_fusion
+        )
+        for split in ("train_dataloader", "val_dataloader", "test_dataloader"):
+            if data_obj[split] is not None:
+                data_obj[split] = _EmbedNotesLoader(
+                    data_obj[split], llm, llm_params, tokenizer, cfg.max_length
+                )
 
     model = get_model(cfg)
     fusion = None
@@ -208,10 +253,16 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
         for step, batch in enumerate(data_obj["train_dataloader"]):
             rng, step_rng = jax.random.split(rng)
             dev = shard_batch(batch, mesh)
-            params, stats, opt_state, loss = train_step(
-                params, stats, opt_state, dev, step_rng
-            )
-            last_loss = float(loss)
+            try:
+                params, stats, opt_state, loss = train_step(
+                    params, stats, opt_state, dev, step_rng
+                )
+                last_loss = float(loss)
+            except Exception as e:  # OOM batch-skip (reference main.py:1107-1110)
+                if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                    logger.warning("[OOM] step %d: skipping batch", step)
+                    continue
+                raise
             if np.isnan(last_loss):
                 raise FloatingPointError(
                     f"NaN loss at epoch {itr} step {step} "

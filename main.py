@@ -1,0 +1,78 @@
+"""Experiment driver (reference main.py:1181-1281).
+
+Single (dataset, model, fusion) training run:
+
+    python main.py --dataset EPA-Air --model DLinear --overwrite_args
+
+Flags mirror the reference CLI (main.py:43-759); any Config field is
+accepted as `--<name> <value>`. `--overwrite_args` applies
+fixed/tunable/dataset/model preset overlays in the reference order.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import random as _random
+import sys
+
+from imm_tsf_tpu.config import Config, apply_presets, resolve_max_length
+from imm_tsf_tpu.utils.logging import get_logger, log_path_for
+
+
+def get_args_from_parser(argv=None) -> Config:
+    parser = argparse.ArgumentParser("imm-tsf-tpu")
+    default = Config()
+    for f in dataclasses.fields(Config):
+        name = f"--{f.name}"
+        val = getattr(default, f.name)
+        if isinstance(val, bool):
+            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                                default=val)
+        elif isinstance(val, int):
+            parser.add_argument(name, type=int, default=val)
+        elif isinstance(val, float):
+            parser.add_argument(name, type=float, default=val)
+        elif isinstance(val, tuple) or val is None and f.name in ("npatch", "patch_stride", "llm_layers_fusion", "cru_lsd", "cru_hidden_units"):
+            parser.add_argument(name, type=int, nargs="*" if isinstance(val, tuple) else None,
+                                default=val)
+        else:
+            parser.add_argument(name, type=str, default=val)
+    ns = parser.parse_args(argv)
+    kw = {f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)}
+    for tup_field in ("mesh_shape", "mesh_axis_names", "cru_trans_net_hidden_units", "rec_ids"):
+        v = kw.get(tup_field)
+        if isinstance(v, list):
+            kw[tup_field] = tuple(v)
+    return Config(**kw)
+
+
+# the reference's in-file experiment dicts (main.py:1208-1243)
+fixed_params: dict = {}
+tunable_params: dict = {"batch_size": 32}
+
+
+def main(argv=None):
+    cfg = get_args_from_parser(argv)
+    cfg = apply_presets(cfg, fixed_params, tunable_params)
+    if cfg.enable_text:
+        cfg = resolve_max_length(cfg)  # main.py:968-969
+
+    experiment_id = cfg.load or int(_random.SystemRandom().random() * 100000)
+    logger = get_logger(log_path_for(cfg), mode=cfg.logmode)
+    logger.info("ExpID %s | %s", experiment_id, " ".join(sys.argv))
+    logger.info(cfg.to_json())
+
+    from imm_tsf_tpu.training.trainer import trainable
+
+    res = trainable(cfg, checkpoint_dir=f"{cfg.save.rstrip('/')}/experiment_{experiment_id}")
+    printable = {k: v for k, v in res.items()
+                 if k in ("loss", "mse", "mae", "rmse", "mape", "best_iter")}
+    logger.info("Final test metrics: %s", json.dumps(printable))
+    print(json.dumps(printable))
+    return res
+
+
+if __name__ == "__main__":
+    main()

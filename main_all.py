@@ -1,0 +1,146 @@
+"""Benchmark sweep driver (reference main_all.py:12-205).
+
+Cartesian product over datasets x models x enable_text x TTF x MMF with:
+  - skip of non-default fusion when text is off (:109-117)
+  - resume by skipping existing experiment_results/*.json (:150-156)
+  - per-combination timing + percent-of-total table (:191-203)
+
+TPU addition: --parallel N runs combinations in N worker processes
+(host-parallel sweep orchestration, SURVEY.md §2.8 obligation c).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from itertools import product
+from pathlib import Path
+
+from imm_tsf_tpu.config import (
+    DATASETS,
+    MMF_MODULES,
+    MODELS,
+    TTF_MODULES,
+    Config,
+    apply_presets,
+    resolve_max_length,
+)
+from imm_tsf_tpu.utils.table import Table
+
+
+def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
+                    data_root, epoch, results_dir: Path):
+    data_name, model_name, enable_text, TTF_module, MMF_module = combo
+    result_filename = (
+        f"{data_name}_{model_name}_enable_text={enable_text}"
+        f"_TTF_module={TTF_module}_MMF_module={MMF_module}"
+        f"_llm_model_fusion={llm_model_fusion}.json"
+    )
+    result_path = results_dir / result_filename
+    if result_path.exists():  # resume (:150-156)
+        return ("skipped-cached", 0.0)
+
+    fixed_params = {
+        "dataset": data_name,
+        "model": model_name,
+        "batch_size": batch_size,
+        "epoch": epoch,
+        "enable_text": enable_text,
+        "use_text_embeddings": use_text_embeddings,
+        "split_method": "sample",
+        "TTF_module": TTF_module,
+        "MMF_module": MMF_module,
+        "llm_model_fusion": llm_model_fusion,
+        "llm_layers_fusion": None,
+        "data_root": data_root,
+    }
+    tunable_params = {"lr": 1e-3}
+    cfg = apply_presets(Config(overwrite_args=True), fixed_params, tunable_params)
+    if cfg.enable_text:
+        cfg = resolve_max_length(cfg)
+
+    from imm_tsf_tpu.training.trainer import trainable
+
+    t0 = time.time()
+    best_metrics = trainable(cfg)
+    elapsed = time.time() - t0
+    result_data = {
+        "dataset": data_name,
+        "model": model_name,
+        "enable_text": enable_text,
+        "TTF_module": TTF_module,
+        "MMF_module": MMF_module,
+        "metrics": {k: v for k, v in best_metrics.items()
+                    if k in ("loss", "mse", "mae", "rmse", "mape", "best_iter")},
+    }
+    results_dir.mkdir(parents=True, exist_ok=True)
+    with open(result_path, "w") as f:
+        json.dump(result_data, f, indent=4)
+    return ("ok", elapsed)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("imm-tsf-tpu sweep")
+    ap.add_argument("--datasets", nargs="+", default=list(DATASETS))
+    ap.add_argument("--models", nargs="+", default=list(MODELS))
+    ap.add_argument("--enable_text", nargs="+", type=int, default=[1, 0])
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--epoch", type=int, default=1000)
+    ap.add_argument("--llm_model_fusion", default="GPT2")
+    ap.add_argument("--use_text_embeddings", type=int, default=1)
+    ap.add_argument("--data_root", default="./data")
+    ap.add_argument("--results_dir", default="experiment_results")
+    ap.add_argument("--parallel", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    combinations = list(product(
+        args.datasets, args.models, [bool(x) for x in args.enable_text],
+        TTF_MODULES, MMF_MODULES,
+    ))
+    # skip non-default fusion when text is off (:109-117)
+    combinations = [
+        c for c in combinations
+        if c[2] or (c[3] == "TTF_RecAvg" and c[4] == "MMF_GR_Add")
+    ]
+
+    results_dir = Path(args.results_dir)
+    run_times = []
+    total_t0 = time.time()
+
+    if args.parallel > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=args.parallel) as ex:
+            futures = {
+                ex.submit(
+                    run_combination, c, args.batch_size, args.llm_model_fusion,
+                    bool(args.use_text_embeddings), args.data_root, args.epoch,
+                    results_dir,
+                ): c
+                for c in combinations
+            }
+            for fut, c in futures.items():
+                status, dt = fut.result()
+                run_times.append((" | ".join(map(str, c)), dt))
+    else:
+        for idx, c in enumerate(combinations):
+            print(f"[{idx + 1}/{len(combinations)}] {c}")
+            status, dt = run_combination(
+                c, args.batch_size, args.llm_model_fusion,
+                bool(args.use_text_embeddings), args.data_root, args.epoch,
+                results_dir,
+            )
+            run_times.append((" | ".join(map(str, c)), dt))
+
+    total = time.time() - total_t0
+    table = Table(["Combination", "Time (s)", "Percent of Total (%)"])
+    for desc, t in run_times:
+        table.add_row([desc, f"{t:.2f}", f"{(t / total) * 100:.2f}"])
+    print("\n===== Execution Time Summary =====")
+    print(table)
+    print(f"Total time: {total:.2f} seconds ({total / 60:.2f} minutes)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Driver-level tests: CLI config parsing, presets, sweep resume, summary,
+checkpoint round-trip, embedding precompute."""
+
+import json
+import os
+
+import numpy as np
+
+from imm_tsf_tpu.config import Config, apply_presets
+
+
+def test_cli_parsing():
+    from main import get_args_from_parser
+
+    cfg = get_args_from_parser(
+        ["--dataset", "EPA-Air", "--model", "DLinear", "--batch_size", "4",
+         "--lr", "0.01", "--enable_text", "true"]
+    )
+    assert cfg.dataset == "EPA-Air" and cfg.model == "DLinear"
+    assert cfg.batch_size == 4 and cfg.lr == 0.01 and cfg.enable_text is True
+
+
+def test_preset_overlays():
+    cfg = Config(overwrite_args=True)
+    cfg = apply_presets(cfg, {"dataset": "ILINet", "model": "TTM"}, {"lr": 5e-4})
+    assert cfg.history == 36 and cfg.stride == 4 and cfg.time_unit == "weeks"
+    assert cfg.d_model == 1024 and cfg.patch_size == 36 // 4
+    assert cfg.lr == 5e-4
+    # duplicate keys raise (main.py:931-933)
+    import pytest
+
+    with pytest.raises(ValueError):
+        apply_presets(cfg, {"lr": 1.0}, {"lr": 2.0})
+
+
+def test_sweep_resume_and_results(synth_root, tmp_path):
+    import main_all
+
+    main_all.main([
+        "--datasets", "EPA-Air", "--models", "DLinear",
+        "--enable_text", "0", "--batch_size", "16", "--epoch", "2",
+        "--data_root", synth_root, "--results_dir", str(tmp_path / "res"),
+    ])
+    files = list((tmp_path / "res").glob("*.json"))
+    assert len(files) == 1
+    data = json.loads(files[0].read_text())
+    assert np.isfinite(data["metrics"]["mse"])
+    # resume: second run skips (same file set, no error)
+    main_all.main([
+        "--datasets", "EPA-Air", "--models", "DLinear",
+        "--enable_text", "0", "--batch_size", "16", "--epoch", "2",
+        "--data_root", synth_root, "--results_dir", str(tmp_path / "res"),
+    ])
+    assert len(list((tmp_path / "res").glob("*.json"))) == 1
+
+
+def test_ds_summary(synth_root):
+    from imm_tsf_tpu.data.summary import show_ds_summary
+
+    s = show_ds_summary(synth_root, "EPA-Air", "days", print_table=False)
+    assert s["num_entities"] == 4 and s["num_features"] == 3
+    assert 0 <= s["Temporal observation entropy (norm)"] <= 1
+    assert s["num_text"] > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from imm_tsf_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+
+    params = {"model": {"w": jnp.arange(4.0), "b": jnp.ones(2)}}
+    stats = {"model": {}}
+    save_checkpoint(str(tmp_path / "ckpt"), params, stats, 3)
+    p2, s2, step = load_checkpoint(str(tmp_path / "ckpt"))
+    assert step == 3
+    np.testing.assert_array_equal(np.asarray(p2["model"]["w"]), [0, 1, 2, 3])
+
+
+def test_embedding_precompute(synth_root, tmp_path):
+    """Batched precompute writes loadable artifacts for a non-default LLM tag."""
+    from compute_text_embeddings import compute_text_embeddings
+    from imm_tsf_tpu.data.dataset import ChunkedTimeSeriesDataset
+
+    tps = compute_text_embeddings(
+        "EPA-Air", llm_model_fusion="GPT2", llm_layers_fusion=2,
+        max_length=32, data_root=synth_root, token_batch=16,
+    )
+    # artifacts load through the dataset path
+    ds = ChunkedTimeSeriesDataset(
+        root=os.path.join(synth_root, "EPA-Air"),
+        history=7, pred_window=7, stride=7, time_unit="days",
+        enable_text=True, use_text_embeddings=True,
+        llm_model_fusion="GPT2", llm_layers_fusion=2, max_length=32,
+        verbose=False,
+    )
+    assert ds.bounds.d_txt == 768  # GPT2 hidden size
