@@ -204,48 +204,66 @@ class ChunkedTimeSeriesDataset:
             raw_data.append((rec, tt, vals, mask, texts))
 
         # --- chunking (reference :174-237) ---
+        # Native two-pointer core (imm_tsf_tpu/native/chunker.cpp) when the
+        # toolchain is available; NumPy loop otherwise. Identical outputs
+        # (covered by tests/test_native_chunker.py).
         total = history + pred_window
         chunks: list[Chunk] = []
         for rec, tt, vals, mask, record_texts in raw_data:
-            t_max = float(tt.max())
-            st = float(tt.min())
             cnt = 0
             drop_count = 0
-            while st + total <= t_max:
-                idx = np.nonzero((tt >= st) & (tt < st + total))[0]
-                if idx.size >= 2:
-                    sub_tt = tt[idx] - st
-                    sub_vals = vals[idx]
-                    sub_mask = mask[idx]
-                    hist_mask = sub_mask[sub_tt < history]
-                    pred_mask = sub_mask[sub_tt >= history]
-                    if hist_mask.sum() == 0 or pred_mask.sum() == 0:
-                        st += stride
-                        continue
-                    hist_end = st + history
-                    selected = [
-                        (t - st, payload)
-                        for (t, payload) in record_texts
-                        if st <= t < hist_end
-                    ]
-                    chunk_id = f"{rec}_chunk{cnt}"
-                    cnt += 1
-                    # drop no-text chunks even when enable_text=False (:217-221)
-                    if len(selected) == 0:
-                        drop_count += 1
-                        st += stride
-                        continue
-                    if enable_text:
-                        note_times = np.array([t for t, _ in selected], dtype=np.float32)
-                        payloads = [p for _, p in selected]
-                    else:
-                        note_times = np.zeros((0,), dtype=np.float32)
-                        payloads = []
-                    chunks.append(
-                        Chunk(chunk_id, sub_tt.astype(np.float32), sub_vals, sub_mask,
-                              note_times, payloads)
-                    )
-                st += stride
+            note_t = np.array([t for t, _ in record_texts], np.float64)
+
+            from ..native import chunk_windows
+
+            win = None
+            if len(note_t) == 0 or (np.diff(note_t) >= 0).all():  # core needs sorted notes
+                win = chunk_windows(tt.astype(np.float64), mask.sum(axis=1),
+                                    note_t, history, pred_window, stride)
+            if win is not None:
+                emitted = self._emit_from_windows(
+                    rec, tt, vals, mask, record_texts, win, history, enable_text
+                )
+                chunks.extend(emitted[0])
+                cnt, drop_count = emitted[1], emitted[2]
+            else:
+                t_max = float(tt.max())
+                st = float(tt.min())
+                while st + total <= t_max:
+                    idx = np.nonzero((tt >= st) & (tt < st + total))[0]
+                    if idx.size >= 2:
+                        sub_tt = tt[idx] - st
+                        sub_vals = vals[idx]
+                        sub_mask = mask[idx]
+                        hist_mask = sub_mask[sub_tt < history]
+                        pred_mask = sub_mask[sub_tt >= history]
+                        if hist_mask.sum() == 0 or pred_mask.sum() == 0:
+                            st += stride
+                            continue
+                        hist_end = st + history
+                        selected = [
+                            (t - st, payload)
+                            for (t, payload) in record_texts
+                            if st <= t < hist_end
+                        ]
+                        chunk_id = f"{rec}_chunk{cnt}"
+                        cnt += 1
+                        # drop no-text chunks even when enable_text=False (:217-221)
+                        if len(selected) == 0:
+                            drop_count += 1
+                            st += stride
+                            continue
+                        if enable_text:
+                            note_times = np.array([t for t, _ in selected], np.float32)
+                            payloads = [p for _, p in selected]
+                        else:
+                            note_times = np.zeros((0,), dtype=np.float32)
+                            payloads = []
+                        chunks.append(
+                            Chunk(chunk_id, sub_tt.astype(np.float32), sub_vals,
+                                  sub_mask, note_times, payloads)
+                        )
+                    st += stride
             if verbose and (cnt + drop_count) > 0:
                 ratio = drop_count / (cnt + drop_count)
                 print(f"Record {rec}: {cnt} chunks created, {drop_count} dropped ({ratio:.2%})")
@@ -255,6 +273,40 @@ class ChunkedTimeSeriesDataset:
         self.chunks = chunks
         self.input_dim = chunks[0].vals.shape[-1]
         self.bounds = self._compute_bounds()
+
+    def _emit_from_windows(self, rec, tt, vals, mask, record_texts, win,
+                           history, enable_text):
+        """Materialize Chunk objects from native window ranges, preserving
+        the reference's chunk-numbering/drop semantics exactly."""
+        chunks: list[Chunk] = []
+        cnt = 0
+        drop_count = 0
+        st = float(tt.min())
+        stride = self.stride
+        for w in range(len(win["starts"])):
+            if win["valid"][w]:
+                if win["has_text"][w]:
+                    lo, hi = int(win["starts"][w]), int(win["ends"][w])
+                    sub_tt = (tt[lo:hi] - np.float32(st)).astype(np.float32)
+                    chunk_id = f"{rec}_chunk{cnt}"
+                    cnt += 1
+                    if enable_text:
+                        nlo, nhi = int(win["note_lo"][w]), int(win["note_hi"][w])
+                        sel = record_texts[nlo:nhi]
+                        note_times = np.array([t - st for t, _ in sel], np.float32)
+                        payloads = [p for _, p in sel]
+                    else:
+                        note_times = np.zeros((0,), np.float32)
+                        payloads = []
+                    chunks.append(
+                        Chunk(chunk_id, sub_tt, vals[lo:hi], mask[lo:hi],
+                              note_times, payloads)
+                    )
+                else:
+                    cnt += 1
+                    drop_count += 1
+            st += stride
+        return chunks, cnt, drop_count
 
     def _compute_bounds(self) -> ShapeBounds:
         b = ShapeBounds()

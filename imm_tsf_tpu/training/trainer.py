@@ -92,9 +92,18 @@ def init_params(cfg: Config, model, fusion, sample_batch: dict, rng):
 def make_forward(cfg: Config, model, fusion):
     """compute_all_losses's forward path (reference lib/evaluation.py:72-100).
 
-    forward(params, stats, batch, train, rng) -> (pred_y, new_stats)."""
+    forward(params, stats, batch, train, rng) -> (pred_y, new_stats).
+    Config.compute_dtype=="bfloat16" runs every matmul in bf16 on the MXU
+    (the TPU-native analog of the reference's AMP flag, main.py:1080-1091);
+    params and reductions stay f32."""
 
     def forward(params, stats, batch, train: bool, rng):
+        if cfg.compute_dtype == "bfloat16":
+            with jax.default_matmul_precision("bfloat16"):
+                return _forward(params, stats, batch, train, rng)
+        return _forward(params, stats, batch, train, rng)
+
+    def _forward(params, stats, batch, train: bool, rng):
         if stats is None:
             stats = {"model": {}, "fusion": {}}
         rngs = {"dropout": rng} if train else None

@@ -109,9 +109,21 @@ def test_cru_collate_matches(both_datasets, ref_modules):
 
     b = our_ds.bounds
     our_out = cru_collate(our_ds.chunks[:6], 7.0, 14.0, b.max_obs_len, b.max_pred_len)
-    for key in ["observed_data", "observed_tp", "data_to_predict", "tp_to_predict"]:
+    # values/masks match everywhere on the reference region; timestamps match
+    # on each sample's REAL entries (our pads repeat the last time instead of
+    # the reference's zero-pads — documented deviation in cru_collate)
+    for key in ["observed_data", "data_to_predict"]:
         r = ref_out[key].numpy()
         np.testing.assert_allclose(our_out[key][:, : r.shape[1]], r, atol=1e-6, err_msg=key)
+    for i, c in enumerate(our_ds.chunks[:6]):
+        n_obs = int((c.tt < 7.0).sum())
+        n_pred = len(c.tt) - n_obs
+        np.testing.assert_allclose(
+            our_out["observed_tp"][i, :n_obs],
+            ref_out["observed_tp"].numpy()[i, :n_obs], atol=1e-6)
+        np.testing.assert_allclose(
+            our_out["tp_to_predict"][i, :n_pred],
+            ref_out["tp_to_predict"].numpy()[i, :n_pred], atol=1e-6)
 
 
 def test_ode_collate_matches(both_datasets, ref_modules):
