@@ -89,6 +89,45 @@ class BatchIterator:
             yield out
 
 
+class PrefetchIterator:
+    """Double-buffered host prefetch: collate for batch k+1 runs on a
+    worker thread while batch k is on device (SURVEY.md §7.2 — the
+    reference collates synchronously inside the step loop). Depth-bounded
+    queue; exceptions propagate to the consumer."""
+
+    def __init__(self, base, depth: int = 2):
+        self.base = base
+        self.depth = max(1, depth)
+
+    def __len__(self):
+        return len(self.base)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def worker():
+            try:
+                for item in self.base:
+                    q.put(item)
+                q.put(_END)
+            except BaseException as e:  # noqa: BLE001 — propagate to consumer
+                q.put(e)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+
+
 def _pad_batch_dim(out: dict, n: int, B: int) -> dict:
     """Pad the batch axis to a static B with all-zero-mask dummy rows.
 

@@ -246,6 +246,18 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
     rng, init_rng = jax.random.split(rng)
     params, stats = init_state(cfg, model, fusion, sample_batch, init_rng)
 
+    # --load <expID>: resume weights from that experiment's checkpoints
+    # (reference main.py:724-729,953 computes the path but never restores;
+    # here restore is real, SURVEY.md §5.4)
+    if cfg.load is not None and checkpoint_dir is not None:
+        try:
+            from .checkpoint import load_checkpoint
+
+            params, stats, ck_step = load_checkpoint(checkpoint_dir, params, stats)
+            logger.info("Restored checkpoint step %d from %s", ck_step, checkpoint_dir)
+        except FileNotFoundError:
+            logger.info("No checkpoint at %s; training from scratch", checkpoint_dir)
+
     tx = make_optimizer(cfg.lr, cfg.w_decay, clip_norm=1.0)
     opt_state = tx.init(params)
     train_step, eval_step = build_steps(cfg, model, fusion, tx)
@@ -256,10 +268,16 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
     no_improve = 0
     history = []
 
+    from ..data.loader import PrefetchIterator
+
+    train_loader = data_obj["train_dataloader"]
+    if cfg.host_prefetch > 0:
+        train_loader = PrefetchIterator(train_loader, depth=cfg.host_prefetch)
+
     for itr in range(cfg.epoch):
         st = time.time()
         last_loss = np.nan
-        for step, batch in enumerate(data_obj["train_dataloader"]):
+        for step, batch in enumerate(train_loader):
             rng, step_rng = jax.random.split(rng)
             dev = shard_batch(batch, mesh)
             try:

@@ -1,0 +1,89 @@
+"""Multi-device sharding on the 8-device virtual CPU mesh: data-parallel
+training step consistency + Llama tensor sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from imm_tsf_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+
+
+def test_mesh_creation():
+    mesh = make_mesh((8,), ("data",))
+    assert mesh is not None and mesh.devices.size == 8
+
+
+def test_data_parallel_matches_single_device(synth_root):
+    """Same params + batch -> identical loss whether sharded over 8 devices
+    or run on one (psum inserted by the partitioner)."""
+    from imm_tsf_tpu.config import Config
+    from imm_tsf_tpu.models import get_model
+    from imm_tsf_tpu.training.optim import make_optimizer
+    from imm_tsf_tpu.training.trainer import build_steps, init_state
+
+    from bench import build_batch
+
+    cfg = Config(model="DLinear", input_dim=3, input_len=12, pred_len=6,
+                 batch_size=16, dropout=0.0)
+    batch = build_batch(B=16, L=12, Lp=6, C=3, N=2, d_txt=8, seed=11)
+    model = get_model(cfg)
+    params, stats = init_state(cfg, model, None, batch, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.lr, cfg.w_decay)
+
+    losses = []
+    for mesh_shape in [(), (8,)]:
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        o = tx.init(p)
+        train_step, _ = build_steps(cfg, model, None, tx)
+        mesh = make_mesh(mesh_shape)
+        dev = shard_batch(batch, mesh)
+        p, s, o, loss = train_step(p, dict(stats), o, dev, jax.random.PRNGKey(1))
+        losses.append(float(loss))
+    assert abs(losses[0] - losses[1]) < 1e-6, losses
+
+
+def test_llama_tensor_sharding():
+    """Llama weights carry 'model'-axis partition specs; jit over a
+    ('data','model') mesh shards them across devices."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from imm_tsf_tpu.llm.llama import LlamaConfig, LlamaModel
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=1, num_attention_heads=4,
+                      num_key_value_heads=4)
+    model = LlamaModel(cfg)
+    ids = jnp.zeros((2, 8), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids)
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    # partition specs recorded on the params
+    from flax.linen import get_partition_spec
+
+    specs = jax.tree_util.tree_map(
+        lambda x: x.names if hasattr(x, "names") else None,
+        variables["params"],
+        is_leaf=lambda x: hasattr(x, "names"),
+    )
+    q_spec = specs["layer_0"]["q_proj"]["kernel"]
+    assert q_spec == (None, "model"), q_spec
+
+    # materialize sharded params and run the forward under the mesh
+    def to_sharded(x):
+        if hasattr(x, "names"):
+            sh = NamedSharding(mesh, P(*x.names))
+            return jax.device_put(x.unbox(), sh)
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    params = jax.tree_util.tree_map(
+        to_sharded, variables["params"], is_leaf=lambda x: hasattr(x, "names")
+    )
+    out = jax.jit(
+        lambda p, i: model.apply({"params": p}, i)
+    )(params, ids)
+    assert out.shape == (2, 8, 64)
+    assert not np.isnan(np.asarray(out)).any()
+    # the q_proj kernel is actually split over the model axis
+    k = params["layer_0"]["q_proj"]["kernel"]
+    assert len(k.sharding.spec) == 2 and k.sharding.spec[1] == "model"
