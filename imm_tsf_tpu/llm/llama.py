@@ -44,15 +44,16 @@ LLAMA_SIZES = {
 
 
 def _rope(x, positions, theta):
-    # x [B, H, T, Dh]
+    # x [B, H, T, Dh]; HF Llama "rotate_half" convention: the head dim is
+    # split into two halves (not interleaved pairs)
     Dh = x.shape[-1]
     freqs = 1.0 / (theta ** (jnp.arange(0, Dh, 2, dtype=jnp.float32) / Dh))
     angles = positions[:, None].astype(jnp.float32) * freqs[None]  # [T, Dh/2]
-    cos, sin = jnp.cos(angles), jnp.sin(angles)
-    x1, x2 = x[..., 0::2], x[..., 1::2]
-    rot1 = x1 * cos - x2 * sin
-    rot2 = x2 * cos + x1 * sin
-    return jnp.stack([rot1, rot2], axis=-1).reshape(x.shape)
+    emb = jnp.concatenate([angles, angles], axis=-1)  # [T, Dh]
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return x * cos + rotated * sin
 
 
 class RMSNorm(nn.Module):
