@@ -17,6 +17,21 @@ import time
 
 import numpy as np
 
+# persistent compilation cache: repeated bench runs (and the driver's
+# round-end run) skip the multi-minute remote TPU compile
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/imm_tsf_jax_cache")
+
+
+def _enable_compile_cache():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 
 def build_batch(B=64, L=48, Lp=24, C=8, N=8, d_txt=768, seed=0):
     rng = np.random.default_rng(seed)
@@ -44,6 +59,8 @@ def bench_jax(cfg, batch, steps=100):
     import jax
     import jax.numpy as jnp
     import optax
+
+    _enable_compile_cache()
 
     from imm_tsf_tpu.models import get_model
     from imm_tsf_tpu.training.evaluation import masked_mse_loss
@@ -96,23 +113,42 @@ def bench_jax(cfg, batch, steps=100):
     return B * steps / dt
 
 
-def bench_torch_reference(batch, steps=10):
-    """Reference DLinear forward+backward+step on CPU, same shapes."""
+def bench_torch_reference(batch, steps=10, model_name="PatchTST"):
+    """Reference backbone forward+backward+step on CPU, same shapes."""
     try:
         import argparse
+        import types
 
         import torch
 
+        for name in ("prettytable", "tqdm", "reformer_pytorch"):
+            if name not in sys.modules:
+                try:
+                    __import__(name)
+                except ImportError:
+                    mod = types.ModuleType(name)
+                    if name == "prettytable":
+                        mod.PrettyTable = type("PT", (), {})
+                    elif name == "reformer_pytorch":
+                        mod.LSHSelfAttention = object
+                    else:
+                        mod.tqdm = lambda x, *a, **k: x
+                    sys.modules[name] = mod
         sys.path.insert(0, "/root/reference")
-        from models.DLinear import DLinear as RefDLinear
 
         B, L, C = batch["observed_data"].shape
         Lp = batch["tp_to_predict"].shape[1]
         args = argparse.Namespace(
             input_len=L, pred_len=Lp, enc_in=C, moving_avg=25,
+            d_model=512, d_ff=2048, n_heads=2, e_layers=1, d_layers=1,
+            dropout=0.1, activation="gelu", factor=1,
             batch_size=B, device=torch.device("cpu"),
         )
-        model = RefDLinear(args)
+        if model_name == "PatchTST":
+            from models.PatchTST import PatchTST as RefModel
+        else:
+            from models.DLinear import DLinear as RefModel
+        model = RefModel(args)
         opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=0.01)
         t = {k: torch.tensor(v) for k, v in batch.items() if isinstance(v, np.ndarray)}
 
@@ -143,18 +179,22 @@ def bench_torch_reference(batch, steps=10):
 
 
 def main():
+    """Headline workload: PatchTST (d_model 512 transformer backbone, the
+    reference's TSLib defaults) + TTF_RecAvg/MMF_GR_Add fusion — a
+    representative mid-weight (model, fusion) combo measured identically in
+    both frameworks (forward+backward+Adam step per window)."""
     from imm_tsf_tpu.config import Config
 
     B, L, Lp, C = 64, 48, 24, 8
     batch = build_batch(B=B, L=L, Lp=Lp, C=C)
     cfg = Config(
-        model="DLinear", enable_text=True, use_text_embeddings=True,
+        model="PatchTST", enable_text=True, use_text_embeddings=True,
         llm_model_fusion="GPT2", TTF_module="TTF_RecAvg", MMF_module="MMF_GR_Add",
         d_txt=768, input_dim=C, input_len=L, pred_len=Lp, batch_size=B,
-        dropout=0.1,
+        d_model=512, d_ff=2048, n_heads=2, e_layers=1, dropout=0.1,
     )
-    ours = bench_jax(cfg, batch)
-    ref = bench_torch_reference(batch)
+    ours = bench_jax(cfg, batch, steps=50)
+    ref = bench_torch_reference(batch, steps=5, model_name="PatchTST")
     vs = ours / ref if ref else float("nan")
     print(json.dumps({
         "metric": "forecast_windows_per_sec_per_chip",

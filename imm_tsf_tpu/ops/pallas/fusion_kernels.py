@@ -27,39 +27,62 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _recavg_kernel(sigma_ref, tau_ref, that_ref, v_ref, mask_ref,
                    out_ref, denom_ref):
-    # full-array VMEM blocks: tau/mask [B, N], t_hat [B, T], V [B, N, d].
-    # The [B, N, T] weight tile exists only in VMEM; the weighted sum is a
+    # batch-tile VMEM blocks: tau/mask [TB, N], t_hat [TB, T], V [TB, N, d].
+    # The [TB, N, T] weight tile exists only in VMEM; the weighted sum is a
     # batched MXU matmul.
     sigma = sigma_ref[0]
     tau = tau_ref[:, :]
     that = that_ref[:, :]
     mask = mask_ref[:, :]
     delta = jnp.maximum(that[:, None, :] - tau[:, :, None], 0.0)
-    w = jnp.exp(-((delta / sigma) ** 2)) * mask[:, :, None]  # [B, N, T]
-    denom = jnp.clip(w.sum(axis=1), 1e-6, None)  # [B, T]
+    w = jnp.exp(-((delta / sigma) ** 2)) * mask[:, :, None]  # [TB, N, T]
+    denom = jnp.clip(w.sum(axis=1), 1e-6, None)  # [TB, T]
     e = jax.lax.dot_general(
         w, v_ref[:, :, :],
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # [B, T, d]
+    )  # [TB, T, d]
     out_ref[:, :, :] = e / denom[:, :, None]
     denom_ref[:, :] = denom
+
+
+def _batch_tile(B: int, N: int, T: int, d: int) -> int:
+    """Largest batch tile (multiple of 8, divides B) fitting ~4MB of VMEM."""
+    budget = 2 * 1024 * 1024 // 4  # floats (leave room for double buffering)
+    per_item = N * T + T * d + N * d + N + 2 * T
+    tb = max(budget // max(per_item, 1), 1)
+    tb = min(tb, B)
+    while tb > 8 and (B % tb or tb % 8):
+        tb -= 1
+    return tb if B % tb == 0 and (tb % 8 == 0 or tb == B) else 0
 
 
 def _recavg_pallas(tau, t_hat, V, mask, sigma):
     B, N = tau.shape
     T = t_hat.shape[1]
     d = V.shape[-1]
-    sigma_arr = jnp.full((1,), sigma, jnp.float32)
     interpret = jax.default_backend() != "tpu"
-    vmem = pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.VMEM)
+    TB = B if interpret else _batch_tile(B, N, T, d)
+    if TB == 0:  # no valid tiling -> XLA fallback
+        return _recavg_xla(tau, t_hat, V, mask, sigma)
+    sigma_arr = jnp.full((1,), sigma, jnp.float32)
+    grid = (B // TB,)
+    sp = pltpu.ANY if interpret else pltpu.VMEM
     out, denom = pl.pallas_call(
         _recavg_kernel,
+        grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret else vmem,
-            vmem, vmem, vmem, vmem,
+            pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret
+            else pl.BlockSpec(memory_space=sp),
+            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=sp),
+            pl.BlockSpec((TB, T), lambda b: (b, 0), memory_space=sp),
+            pl.BlockSpec((TB, N, d), lambda b: (b, 0, 0), memory_space=sp),
+            pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=sp),
         ],
-        out_specs=[vmem, vmem],
+        out_specs=[
+            pl.BlockSpec((TB, T, d), lambda b: (b, 0, 0), memory_space=sp),
+            pl.BlockSpec((TB, T), lambda b: (b, 0), memory_space=sp),
+        ],
         out_shape=[
             jax.ShapeDtypeStruct((B, T, d), jnp.float32),
             jax.ShapeDtypeStruct((B, T), jnp.float32),
