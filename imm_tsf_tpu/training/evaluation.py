@@ -57,6 +57,16 @@ def masked_mse_loss(pred_y, truth, mask):
     return compute_error(truth, pred_y, mask, func="MSE", reduce="mean")
 
 
+def masked_mse_nn(pred_y, target, mask):
+    """Flat masked MSE (reference lib/evaluation.py:167-189; unused in the
+    training flow, kept for API parity)."""
+    mask = mask.reshape(-1).astype(bool)
+    diff = (pred_y.reshape(-1) - target.reshape(-1)) ** 2
+    total = jnp.where(mask, diff, 0.0).sum()
+    count = mask.sum()
+    return jnp.where(count == 0, 0.0, total / jnp.maximum(count, 1))
+
+
 def batch_error_sums(pred_y, truth, mask):
     """One eval step's contribution: per-variable error sums + counts for
     MSE / MAE / MAPE (lib/evaluation.py:226-257). Jit-friendly."""

@@ -315,12 +315,17 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
         else:
             no_improve += 1
 
+        epoch_secs = time.time() - st
+        n_windows = len(data_obj["train_dataloader"]) * cfg.batch_size
         history.append(
-            dict(epoch=itr, train_loss=last_loss, val=val_res, secs=time.time() - st)
+            dict(epoch=itr, train_loss=last_loss, val=val_res, secs=epoch_secs,
+                 windows_per_sec=n_windows / max(epoch_secs, 1e-9))
         )
         logger.info(
-            "- Epoch %03d | train loss %.5f | val mse %.5f mae %.5f | %.2fs",
-            itr, last_loss, val_res["mse"], val_res["mae"], time.time() - st,
+            "- Epoch %03d | train loss %.5f | val mse %.5f mae %.5f | %.2fs"
+            " | %.0f windows/s",
+            itr, last_loss, val_res["mse"], val_res["mae"], epoch_secs,
+            n_windows / max(epoch_secs, 1e-9),
         )
         if test_res is not None and best_iter == itr:
             logger.info(

@@ -1,0 +1,87 @@
+"""Utility-layer tests: NaN guards, tables, prefetch, bf16 path, seeding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_find_nan_params():
+    from imm_tsf_tpu.utils.debug import find_nan_params
+
+    tree = {"a": jnp.ones(3), "b": {"c": jnp.array([1.0, np.nan])}}
+    bad = find_nan_params(tree)
+    assert len(bad) == 1 and "c" in bad[0]
+
+
+def test_checkify_forward():
+    from imm_tsf_tpu.utils.debug import checkify_forward
+
+    def f(x):
+        return jnp.log(x)
+
+    checked = checkify_forward(f)
+    err, out = jax.jit(checked)(jnp.array([-1.0]))
+    assert "nan" in str(err.get()).lower()
+
+
+def test_table_render():
+    from imm_tsf_tpu.utils.table import Table
+
+    t = Table(["a", "bb"])
+    t.add_row([1, "xy"])
+    s = str(t)
+    assert "| a | bb |" in s and "| 1 | xy |" in s
+
+
+def test_prefetch_iterator():
+    from imm_tsf_tpu.data.loader import PrefetchIterator
+
+    src = [1, 2, 3, 4]
+    assert list(PrefetchIterator(src, depth=2)) == src
+
+    class Boom:
+        def __iter__(self):
+            yield 1
+            raise RuntimeError("boom")
+
+        def __len__(self):
+            return 2
+
+    it = iter(PrefetchIterator(Boom()))
+    assert next(it) == 1
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        next(it)
+
+
+def test_bf16_forward_path(synth_root):
+    """compute_dtype='bfloat16' runs the full step without NaN."""
+    from imm_tsf_tpu.config import Config
+    from imm_tsf_tpu.training.trainer import trainable
+
+    cfg = Config(dataset="EPA-Air", data_root=synth_root, model="DLinear",
+                 history=7, pred_window=7, stride=7, time_unit="days",
+                 batch_size=16, enable_text=False, epoch=1, patience=1,
+                 compute_dtype="bfloat16")
+    res = trainable(cfg)
+    assert np.isfinite(res["mse"])
+
+
+def test_step_timer():
+    from imm_tsf_tpu.utils.debug import StepTimer
+
+    t = StepTimer(n_chips=2)
+    with t.step(batch_size=8):
+        pass
+    assert t.windows == 8 and t.windows_per_sec_per_chip > 0
+
+
+def test_set_seed():
+    from imm_tsf_tpu.utils.seed import set_seed
+
+    set_seed(3)
+    a = np.random.rand(3)
+    set_seed(3)
+    b = np.random.rand(3)
+    np.testing.assert_array_equal(a, b)
