@@ -1,0 +1,161 @@
+"""Multi-chip dryrun: jit the FULL training step over an n-device
+data-parallel mesh and run one step on tiny shapes, for three models that
+exercise the framework's distinct compute paths:
+
+  1. DLinear + TTF_RecAvg + MMF_GR_Add  — fusion stack, standard collate
+  2. CRU                                 — lax.scan Kalman recursion with
+                                           batched Van Loan expm (the
+                                           scan-heavy sharded path)
+  3. tPatchGNN                           — 4-D patched inputs, adaptive
+                                           adjacency einsums
+
+This module MUST be runnable without real TPUs: `force_cpu_platform()` is
+called before any jax import so the virtual-CPU-mesh idiom
+(`--xla_force_host_platform_device_count=N`) wins over the axon/TPU
+plugin. Note: in this environment JAX_PLATFORMS=cpu alone is NOT
+sufficient (the axon sitecustomize force-registers the TPU tunnel); both
+the env vars and `jax.config.update("jax_platforms", "cpu")` are applied.
+
+Run directly:  python -m imm_tsf_tpu.parallel.dryrun <n_devices>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def force_cpu_platform(n_devices: int) -> None:
+    """Set platform env BEFORE the first jax import. JAX_PLATFORM_NAME is
+    the variable that works in this environment (JAX_PLATFORMS is ignored
+    when the axon plugin registers first); XLA_FLAGS provides the virtual
+    device count."""
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        flags = (flags + f" --xla_force_host_platform_device_count={n_devices}").strip()
+        os.environ["XLA_FLAGS"] = flags
+
+
+def _dryrun_one(cfg, batch, n_devices: int, tag: str) -> float:
+    import jax
+    import numpy as np
+
+    from ..fusion.fusion_model import FusionModel
+    from ..models import get_model
+    from ..parallel.mesh import make_mesh, shard_batch
+    from ..training.optim import make_optimizer
+    from ..training.trainer import build_steps, init_state
+
+    model = get_model(cfg)
+    fusion = FusionModel(cfg) if cfg.enable_text else None
+    params, stats = init_state(cfg, model, fusion, batch, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.lr, cfg.w_decay)
+    opt_state = tx.init(params)
+    train_step, eval_step = build_steps(cfg, model, fusion, tx)
+
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    dev = shard_batch(batch, mesh)
+    params, stats, opt_state, loss = train_step(
+        params, stats, opt_state, dev, jax.random.PRNGKey(1)
+    )
+    loss.block_until_ready()
+    loss = float(loss)
+    assert np.isfinite(loss), f"{tag}: dryrun loss is not finite"
+    sums = eval_step(params, stats, shard_batch(batch, mesh))
+    jax.block_until_ready(sums)
+    print(f"  dryrun[{tag}]({n_devices} devices): loss={loss:.5f} OK", flush=True)
+    return loss
+
+
+def _flagship(n_devices: int):
+    """DLinear + fusion over the data mesh (standard collate shapes)."""
+    from bench import build_batch
+
+    from ..config import Config
+
+    B = max(n_devices * 2, 8)
+    cfg = Config(
+        model="DLinear", enable_text=True, use_text_embeddings=True,
+        llm_model_fusion="GPT2", TTF_module="TTF_RecAvg", MMF_module="MMF_GR_Add",
+        d_txt=32, input_dim=4, input_len=24, pred_len=12, batch_size=B,
+        mesh_shape=(n_devices,),
+    )
+    return cfg, build_batch(B=B, L=24, Lp=12, C=4, N=4, d_txt=32, seed=0)
+
+
+def _cru(n_devices: int):
+    """CRU: the sharded lax.scan Kalman path with per-step batched expm —
+    exactly where layout bugs hide (VERDICT r1 item 1)."""
+    from bench import build_batch
+
+    from ..config import Config
+
+    B = max(n_devices * 2, 8)
+    cfg = Config(
+        model="CRU", input_dim=3, input_len=12, pred_len=6, batch_size=B,
+        cru_lsd=8, cru_hidden_units=16, mesh_shape=(n_devices,),
+    )
+    return cfg, build_batch(B=B, L=12, Lp=6, C=3, N=2, d_txt=8, seed=1)
+
+
+def _tpatchgnn(n_devices: int):
+    """tPatchGNN: 4-D patched inputs [B, M, L, N] sharded on batch."""
+    import numpy as np
+
+    from ..config import Config, MODEL_PRESETS
+
+    B = max(n_devices * 2, 8)
+    M, L, N, Lp = 4, 6, 3, 6
+    cfg = Config(model="tPatchGNN", input_dim=N, input_len=L, pred_len=Lp,
+                 batch_size=B, npatch=M)
+    cfg = cfg.replace(**MODEL_PRESETS["tPatchGNN"]).replace(hid_dim=16)
+
+    rng = np.random.default_rng(0)
+    mask = np.zeros((B, M, L, N), np.float32)
+    lens = rng.integers(1, L + 1, size=(B, M, N))
+    for b in range(B):
+        for m in range(M):
+            for n in range(N):
+                mask[b, m, : lens[b, m, n], n] = 1.0
+    tp = np.sort(rng.random((B, M, L, N)).astype(np.float32) * 0.5, axis=2) * mask
+    data = rng.standard_normal((B, M, L, N)).astype(np.float32) * mask
+    t_hat = np.sort(0.5 + rng.random((B, Lp)).astype(np.float32) * 0.5, axis=1)
+    pmask = (rng.random((B, Lp, N)) > 0.3).astype(np.float32)
+    pmask[:, 0, 0] = 1.0
+    batch = {
+        "observed_data": data, "observed_tp": tp, "observed_mask": mask,
+        "tp_to_predict": t_hat,
+        "data_to_predict": (rng.standard_normal((B, Lp, N)) * pmask).astype(np.float32),
+        "mask_predicted_data": pmask,
+    }
+    return cfg, batch
+
+
+def run(n_devices: int) -> None:
+    import jax
+
+    n = jax.device_count()
+    assert n >= n_devices, (
+        f"need {n_devices} devices, found {n} on platform "
+        f"{jax.devices()[0].platform}"
+    )
+    for build in (_flagship, _cru, _tpatchgnn):
+        cfg, batch = build(n_devices)
+        _dryrun_one(cfg, batch, n_devices, tag=cfg.model)
+    print(f"dryrun_multichip({n_devices}): OK", flush=True)
+
+
+def main() -> None:
+    n_devices = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    force_cpu_platform(n_devices)
+    import jax
+
+    # beat any force-registered accelerator plugin (axon sitecustomize)
+    jax.config.update("jax_platforms", "cpu")
+    run(n_devices)
+
+
+if __name__ == "__main__":
+    main()
