@@ -361,9 +361,18 @@ def apply_presets(
 
 
 def finalize_patching(cfg: Config) -> Config:
-    """Derived patching values (reference lib/parse_datasets.py:742-744)."""
+    """Derived patching values (reference lib/parse_datasets.py:742-744).
+
+    The reference's `args.npatch or 5` fallback never fires because
+    main.py:748-750 always derives npatch = ceil((history - patch_size)
+    / stride) + 1 at arg-parse time; programmatic Config users who leave
+    npatch=None get the same derivation here (ADVICE r1 medium)."""
+    import math
+
     patch_size = cfg.patch_size or cfg.history // 5
-    npatch = cfg.npatch or 5
+    npatch = cfg.npatch
+    if npatch is None:
+        npatch = max(1, int(math.ceil((cfg.history - patch_size) / cfg.stride)) + 1)
     patch_stride = cfg.patch_stride or patch_size
     return cfg.replace(patch_size=patch_size, npatch=npatch, patch_stride=patch_stride)
 

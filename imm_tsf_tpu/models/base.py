@@ -10,7 +10,23 @@ API-level robustness with shorter inputs.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def torch_linear_bias_init(fan_in: int):
+    """torch nn.Linear's default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    Flax Dense defaults biases to zero; models whose reference keeps the
+    torch default (e.g. DLinear overrides only the weights,
+    models/DLinear.py:36-51) use this so seeded initial states match the
+    reference's distribution (ADVICE r1)."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 def pad_time(x: jnp.ndarray, target_len: int) -> jnp.ndarray:

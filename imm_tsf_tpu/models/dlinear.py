@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..config import Config
 from ..layers.decomp import series_decomp
-from .base import masked_norm, pad_time
+from .base import masked_norm, pad_time, torch_linear_bias_init
 
 
 class DLinear(nn.Module):
@@ -42,9 +42,12 @@ class DLinear(nn.Module):
         trend_init = trend_init.transpose(0, 2, 1)
         time_init = jnp.repeat(observed_tp[:, None, :], C, axis=1)  # [B, C, L]
 
+        # reference overrides only the weights to 1/seq_len and keeps
+        # torch's default uniform bias init (models/DLinear.py:36-51)
         const_init = nn.initializers.constant(1.0 / seq_len)
         dense = lambda name: nn.Dense(
-            pred_len, kernel_init=const_init, bias_init=nn.initializers.zeros, name=name
+            pred_len, kernel_init=const_init,
+            bias_init=torch_linear_bias_init(seq_len), name=name,
         )
         if self.individual:
             seasonal_out = jnp.stack(

@@ -150,8 +150,12 @@ class TimesNet(nn.Module):
         ).transpose(0, 2, 1)
 
         total = seq_len + pred_len
+        # ONE shared LayerNorm applied after every TimesBlock (the reference
+        # instantiates a single nn.LayerNorm, models/TimesNet.py:88,135 —
+        # parameter sharing matters for e_layers > 1; ADVICE r1)
+        layer_norm = nn.LayerNorm(epsilon=1e-5, name="layer_norm")
         for i in range(cfg.e_layers):
-            enc_out = nn.LayerNorm(epsilon=1e-5, name=f"layer_norm_{i}")(
+            enc_out = layer_norm(
                 TimesBlock(cfg, total, name=f"times_block_{i}")(enc_out, train=train)
             )
 

@@ -287,8 +287,24 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                 last_loss = float(loss)
             except Exception as e:  # OOM batch-skip (reference main.py:1107-1110)
                 if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
-                    logger.warning("[OOM] step %d: skipping batch", step)
-                    continue
+                    # train_step donates (params, stats, opt_state); an OOM
+                    # mid-execution may have consumed those buffers, in which
+                    # case skipping would crash later with 'Array deleted' —
+                    # only skip when the donated state survived (ADVICE r1)
+                    def _alive(tree):
+                        return all(
+                            not (hasattr(leaf, "is_deleted") and leaf.is_deleted())
+                            for leaf in jax.tree_util.tree_leaves(tree)
+                        )
+
+                    if _alive(params) and _alive(stats) and _alive(opt_state):
+                        logger.warning("[OOM] step %d: skipping batch", step)
+                        continue
+                    raise RuntimeError(
+                        f"OOM at epoch {itr} step {step} invalidated donated "
+                        "training state; cannot skip this batch — reduce "
+                        "batch_size or model size"
+                    ) from e
                 raise
             if np.isnan(last_loss):
                 raise FloatingPointError(

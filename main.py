@@ -21,30 +21,50 @@ from imm_tsf_tpu.config import Config, apply_presets, resolve_max_length
 from imm_tsf_tpu.utils.logging import get_logger, log_path_for
 
 
+# Optional-typed and tuple-typed flags can't be inferred from a None/empty
+# default; they are declared explicitly (reference flag surface main.py:43-759).
+_OPT_INT_FLAGS = {"npatch", "patch_stride", "llm_layers_fusion",
+                  "cru_lsd", "cru_hidden_units"}
+_OPT_FLOAT_FLAGS = {"unit_scale"}
+_TUPLE_INT_FLAGS = {"mesh_shape", "cru_trans_net_hidden_units"}
+_TUPLE_STR_FLAGS = {"mesh_axis_names", "rec_ids"}  # rec_ids: entity dir names
+                  # (reference lib/parse_datasets.py:80-87)
+
+
 def get_args_from_parser(argv=None) -> Config:
+    import math
+
     parser = argparse.ArgumentParser("imm-tsf-tpu")
     default = Config()
     for f in dataclasses.fields(Config):
         name = f"--{f.name}"
         val = getattr(default, f.name)
-        if isinstance(val, bool):
+        if f.name in _TUPLE_INT_FLAGS:
+            parser.add_argument(name, type=int, nargs="*", default=val)
+        elif f.name in _TUPLE_STR_FLAGS:
+            parser.add_argument(name, type=str, nargs="*", default=val)
+        elif isinstance(val, bool):
             parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
                                 default=val)
-        elif isinstance(val, int):
+        elif f.name in _OPT_INT_FLAGS or isinstance(val, int):
             parser.add_argument(name, type=int, default=val)
-        elif isinstance(val, float):
+        elif f.name in _OPT_FLOAT_FLAGS or isinstance(val, float):
             parser.add_argument(name, type=float, default=val)
-        elif isinstance(val, tuple) or val is None and f.name in ("npatch", "patch_stride", "llm_layers_fusion", "cru_lsd", "cru_hidden_units"):
-            parser.add_argument(name, type=int, nargs="*" if isinstance(val, tuple) else None,
-                                default=val)
         else:
             parser.add_argument(name, type=str, default=val)
     ns = parser.parse_args(argv)
     kw = {f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)}
-    for tup_field in ("mesh_shape", "mesh_axis_names", "cru_trans_net_hidden_units", "rec_ids"):
+    for tup_field in _TUPLE_INT_FLAGS | _TUPLE_STR_FLAGS:
         v = kw.get(tup_field)
         if isinstance(v, list):
             kw[tup_field] = tuple(v)
+    if kw["npatch"] is None:
+        # reference main.py:748-750 derives npatch at arg-parse time from the
+        # pre-preset CLI values (it even overrides an explicit --npatch; we
+        # keep a user-passed value, deriving only when unset)
+        kw["npatch"] = max(
+            1, int(math.ceil((kw["history"] - kw["patch_size"]) / kw["stride"])) + 1
+        )  # clamp: patch_size > history would give npatch <= 0
     return Config(**kw)
 
 

@@ -84,7 +84,7 @@ def test_timesnet_forward_parity():
     ).transpose(2, 1, 0)
     p["predict_linear"] = d(ref.predict_linear)
     p["projection"] = d(ref.projection)
-    p["layer_norm_0"] = ln(ref.layer_norm)
+    p["layer_norm"] = ln(ref.layer_norm)
     # inception conv banks: torch [out,in,kh,kw] -> HWIO [kh,kw,in,out]
     tb = ref.model[0]
     for j, (name, seq_idx) in enumerate([("conv1", 0), ("conv2", 2)]):
