@@ -246,18 +246,6 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
     rng, init_rng = jax.random.split(rng)
     params, stats = init_state(cfg, model, fusion, sample_batch, init_rng)
 
-    # --load <expID>: resume weights from that experiment's checkpoints
-    # (reference main.py:724-729,953 computes the path but never restores;
-    # here restore is real, SURVEY.md §5.4)
-    if cfg.load is not None and checkpoint_dir is not None:
-        try:
-            from .checkpoint import load_checkpoint
-
-            params, stats, ck_step = load_checkpoint(checkpoint_dir, params, stats)
-            logger.info("Restored checkpoint step %d from %s", ck_step, checkpoint_dir)
-        except FileNotFoundError:
-            logger.info("No checkpoint at %s; training from scratch", checkpoint_dir)
-
     tx = make_optimizer(cfg.lr, cfg.w_decay, clip_norm=1.0)
     opt_state = tx.init(params)
     train_step, eval_step = build_steps(cfg, model, fusion, tx)
@@ -267,6 +255,39 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
     test_res = None
     no_improve = 0
     history = []
+    start_epoch = 0
+
+    # --load <expID>: TRUE resume from that experiment's checkpoints —
+    # weights + opt_state + counters + rng streams (the reference
+    # main.py:724-729,953 computes the path but never restores;
+    # SURVEY.md §5.4)
+    if cfg.load is not None and checkpoint_dir is not None:
+        try:
+            from .checkpoint import load_train_state
+
+            params, stats, opt_state, meta, ck_step = load_train_state(
+                checkpoint_dir, params, stats, opt_state
+            )
+            start_epoch = int(meta["epoch"]) + 1
+            best_val_mse = float(meta["best_val_mse"])
+            best_iter = int(meta["best_iter"])
+            no_improve = int(meta["no_improve"])
+            test_res = meta.get("test_res")
+            history = meta.get("history", [])
+            rng = jnp.asarray(meta["rng"], jnp.uint32)
+            dr = meta.get("data_rng_state")
+            base_loader = data_obj["train_dataloader"]
+            if dr is not None and hasattr(base_loader, "_rng"):
+                base_loader._rng.bit_generator.state = dr
+            logger.info(
+                "Resumed full train state (epoch %d) from %s",
+                ck_step, checkpoint_dir,
+            )
+        except (FileNotFoundError, KeyError) as e:
+            logger.info(
+                "No resumable checkpoint at %s (%s); training from scratch",
+                checkpoint_dir, e,
+            )
 
     from ..data.loader import PrefetchIterator
 
@@ -274,7 +295,7 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
     if cfg.host_prefetch > 0:
         train_loader = PrefetchIterator(train_loader, depth=cfg.host_prefetch)
 
-    for itr in range(cfg.epoch):
+    for itr in range(start_epoch, cfg.epoch):
         st = time.time()
         last_loss = np.nan
         for step, batch in enumerate(train_loader):
@@ -324,10 +345,6 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                 test_res = run_evaluation(
                     eval_step, params, stats, data_obj["test_dataloader"], mesh
                 )
-            if checkpoint_dir is not None:
-                from .checkpoint import save_checkpoint
-
-                save_checkpoint(checkpoint_dir, params, stats, itr)
         else:
             no_improve += 1
 
@@ -337,6 +354,19 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
             dict(epoch=itr, train_loss=last_loss, val=val_res, secs=epoch_secs,
                  windows_per_sec=n_windows / max(epoch_secs, 1e-9))
         )
+
+        if checkpoint_dir is not None:
+            from .checkpoint import save_train_state
+
+            base_loader = data_obj["train_dataloader"]
+            meta = dict(
+                epoch=itr, best_val_mse=float(best_val_mse), best_iter=best_iter,
+                no_improve=no_improve, test_res=test_res, history=history,
+                rng=np.asarray(rng).tolist(),
+                data_rng_state=(base_loader._rng.bit_generator.state
+                                if hasattr(base_loader, "_rng") else None),
+            )
+            save_train_state(checkpoint_dir, params, stats, opt_state, meta, itr)
         logger.info(
             "- Epoch %03d | train loss %.5f | val mse %.5f mae %.5f | %.2fs"
             " | %.0f windows/s",
