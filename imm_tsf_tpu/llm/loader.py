@@ -169,13 +169,52 @@ def _load_state_dict(model_dir: str) -> dict:
     return out
 
 
+# static sequence-length buckets for the embedding forwards; each note runs
+# at the smallest bucket >= its token count, so short notes don't burn LLM
+# FLOPs on max_length padding (VERDICT r1 weak #4)
+EMBED_BUCKETS = (32, 64, 128, 256, 512, 1024)
+
+# jitted pooled-forward per model instance: the jit MUST be defined once
+# per model, not per embed_notes call, or every call recompiles every
+# bucket shape. Params are a jit ARGUMENT, not a closure capture —
+# captured params would be baked into the HLO as constants (hundreds of
+# MB for GPT-2, overflowing remote-compile payloads).
+import weakref
+
+_POOLED_FWD: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
+_POOLED_FWD_FNS: dict = {}
+
+
+def _get_pooled_fwd(model):
+    key = id(model)
+    if _POOLED_FWD.get(key) is not model:
+        @jax.jit
+        def fwd(p, ids, tok_mask):
+            h = model.apply({"params": p}, input_ids=ids,
+                            attn_mask=tok_mask.astype(bool))
+            m = tok_mask[:, :, None].astype(h.dtype)
+            return (h * m).sum(1) / jnp.clip(m.sum(1), 1e-6, None)
+
+        _POOLED_FWD[key] = model  # keyed weakly: dead ids can be reused
+        _POOLED_FWD_FNS[key] = fwd
+    return _POOLED_FWD_FNS[key]
+
+
 def embed_notes(notes_text, model, params, tokenizer, max_length: int = 1024,
-                token_batch: int = 64):
+                token_batch: int = 64, bucketed: bool = True,
+                token_budget: int = 32768, stats_out: dict | None = None):
     """Ragged List[List[str]] -> ([B, N_max, d], bool note mask [B, N_max]).
 
     Matches reference load_llm.py:130-201 numerics (pad with "",
-    max_length tokenization, masked mean-pool) with one batched device
-    forward per token-chunk instead of per-note forwards."""
+    truncation at max_length, masked mean-pool). TPU redesign: batched
+    device forwards over LENGTH-BUCKETED token batches instead of the
+    reference's one-note-per-forward max_length loop
+    (compute_text_embeddings.py:79-83). Bucketing is exact: pads are
+    attention-masked, so pooled outputs are identical to the max_length
+    path (tests/test_llm_stack.py::test_embed_notes_bucketed_matches).
+
+    stats_out, if given, is filled with real_tokens / processed_tokens /
+    n_notes for throughput accounting."""
     B = len(notes_text)
     N_max = max((len(s) for s in notes_text), default=1) or 1
     flat, note_mask = [], np.zeros((B, N_max), bool)
@@ -187,17 +226,61 @@ def embed_notes(notes_text, model, params, tokenizer, max_length: int = 1024,
             else:
                 flat.append("")
     ids, tok_mask = tokenizer(flat, max_length=max_length)
+    n_flat = len(flat)
 
-    @jax.jit
-    def fwd(ids, tok_mask):
-        h = model.apply({"params": params}, input_ids=ids,
-                        attn_mask=tok_mask.astype(bool))
-        m = tok_mask[:, :, None].astype(h.dtype)
-        return (h * m).sum(1) / jnp.clip(m.sum(1), 1e-6, None)
+    _fwd = _get_pooled_fwd(model)
+    dev_params = jax.tree_util.tree_map(jnp.asarray, params)
+    fwd = lambda ids, tok_mask: _fwd(dev_params, ids, tok_mask)
 
-    outs = []
-    for s in range(0, len(flat), token_batch):
-        outs.append(np.asarray(fwd(ids[s : s + token_batch], tok_mask[s : s + token_batch])))
-    emb = np.concatenate(outs, 0).reshape(B, N_max, -1)
-    emb = emb * note_mask[:, :, None]
+    real_tokens = int(tok_mask.sum())
+    processed = 0
+    if not bucketed:
+        outs = []
+        for s in range(0, n_flat, token_batch):
+            outs.append(np.asarray(
+                fwd(ids[s : s + token_batch], tok_mask[s : s + token_batch])
+            ))
+            processed += (min(s + token_batch, n_flat) - s) * max_length
+        emb = np.concatenate(outs, 0)
+    else:
+        lengths = tok_mask.sum(axis=1)
+        buckets = [b for b in EMBED_BUCKETS if b < max_length] + [max_length]
+        bucket_of = np.full(n_flat, max_length, np.int64)
+        for b in reversed(buckets):
+            bucket_of[lengths <= b] = b
+        emb = None
+        for b in buckets:
+            idx = np.nonzero((bucket_of == b) & (lengths > 0))[0]
+            if idx.size == 0:
+                continue
+            # rows per device call sized so every call carries ~token_budget
+            # tokens: short buckets get big row-batches, keeping dispatch
+            # count low (per-call latency dominates on a remote chip) while
+            # long buckets stay within the same memory envelope
+            rows = max(token_batch, token_budget // b)
+            rows = 1 << (rows - 1).bit_length()  # power of two
+            for s in range(0, idx.size, rows):
+                sel = idx[s : s + rows]
+                bi = ids[sel, :b]
+                bm = tok_mask[sel, :b]
+                if sel.size < rows:
+                    # pad the remainder to the next power of two: few static
+                    # shapes (log2 per bucket), little padding waste
+                    tgt = 1 << (sel.size - 1).bit_length() if sel.size > 1 else 1
+                    pad = tgt - sel.size
+                    if pad:
+                        bi = np.concatenate([bi, np.zeros((pad, b), bi.dtype)])
+                        bm = np.concatenate([bm, np.zeros((pad, b), bm.dtype)])
+                out = np.asarray(fwd(bi, bm))[: sel.size]
+                if emb is None:
+                    emb = np.zeros((n_flat, out.shape[-1]), out.dtype)
+                emb[sel] = out
+                processed += bi.shape[0] * b
+        if emb is None:  # every note empty
+            d = int(fwd(ids[:1, :buckets[0]], tok_mask[:1, :buckets[0]]).shape[-1])
+            emb = np.zeros((n_flat, d), np.float32)
+    if stats_out is not None:
+        stats_out.update(real_tokens=real_tokens, processed_tokens=processed,
+                         n_notes=int(note_mask.sum()))
+    emb = emb.reshape(B, N_max, -1) * note_mask[:, :, None]
     return emb, note_mask
