@@ -53,9 +53,20 @@ def build_batch(B=64, L=48, Lp=24, C=8, N=8, d_txt=768, seed=0):
     }
 
 
-def bench_jax(cfg, batch, steps=100):
+# peak dense-matmul throughput per chip, for the MFU estimate
+PEAK_FLOPS = {
+    "tpu": 197e12,   # TPU v5e (v5 lite): 197 TFLOP/s bf16
+    "axon": 197e12,  # axon tunnel fronts a v5e chip
+    "cpu": 1e11,     # rough single-socket figure; MFU on CPU is indicative only
+}
+
+
+def bench_jax(cfg, batch, steps=100, return_flops=False):
     """Device-side step loop (lax.scan over train steps) so the measured
-    number is chip throughput, not host/tunnel dispatch latency."""
+    number is chip throughput, not host/tunnel dispatch latency.
+
+    With return_flops=True also returns the XLA cost-model FLOPs of one
+    train step (from compiled.cost_analysis), for MFU estimation."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -110,7 +121,31 @@ def bench_jax(cfg, batch, steps=100):
     loss.block_until_ready()
     dt = time.perf_counter() - t0
     B = batch["observed_data"].shape[0]
-    return B * steps / dt
+    wps = B * steps / dt
+    if not return_flops:
+        return wps
+    flops_per_step = None
+    try:
+        cost = run.lower(
+            params, stats, opt_state, jax.random.PRNGKey(1)
+        ).compile().cost_analysis()
+        if cost and cost.get("flops"):
+            flops_per_step = float(cost["flops"]) / steps
+    except Exception:
+        pass
+    return wps, flops_per_step
+
+
+def mfu(windows_per_sec: float, flops_per_step, batch_size: int) -> float | None:
+    """Model FLOPs utilization: achieved train-step FLOP/s over chip peak."""
+    import jax
+
+    if not flops_per_step:
+        return None
+    peak = PEAK_FLOPS.get(jax.devices()[0].platform, None)
+    if not peak:
+        return None
+    return (windows_per_sec / batch_size) * flops_per_step / peak
 
 
 def bench_torch_reference(batch, steps=10, model_name="PatchTST"):
@@ -193,15 +228,20 @@ def main():
         d_txt=768, input_dim=C, input_len=L, pred_len=Lp, batch_size=B,
         d_model=512, d_ff=2048, n_heads=2, e_layers=1, dropout=0.1,
     )
-    ours = bench_jax(cfg, batch, steps=50)
+    ours, flops_per_step = bench_jax(cfg, batch, steps=50, return_flops=True)
     ref = bench_torch_reference(batch, steps=5, model_name="PatchTST")
     vs = ours / ref if ref else float("nan")
-    print(json.dumps({
+    u = mfu(ours, flops_per_step, B)
+    out = {
         "metric": "forecast_windows_per_sec_per_chip",
         "value": round(ours, 2),
         "unit": "windows/s/chip",
         "vs_baseline": round(vs, 2) if ref else None,
-    }))
+    }
+    print(json.dumps(out))
+    if u is not None:
+        print(f"# MFU {u * 100:.2f}% ({flops_per_step / 1e9:.2f} GFLOP/step, "
+              f"XLA cost model, vs 197 TFLOP/s v5e bf16 peak)", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -169,6 +169,9 @@ class Config:
     ode_z0_encoder: str = "odernn"
     ode_obsrv_std: float = 0.01
     ode_n_traj_samples: int = 1
+    # TPU-only: static rk4 substeps per ODE-RNN encoder interval, replacing
+    # the reference's data-dependent sub-grid (encoder_decoder.py:287-291)
+    ode_substeps: int = 4
 
     # --- fusion (main.py:612-676) ---
     TTF_module: str = "TTF_T2V_XAttn"

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..ode.nets import dense, dense_params
+from ..ode.nets import dense, dense_params, torch_linear_params
 
 
 def _elup1(x):
@@ -85,8 +85,7 @@ class CRU(nn.Module):
             ps = []
             d = d_in
             for i in range(3):
-                ps.append((dense_params(self, f"{name}_fc{i}", d, hidden,
-                                        init=nn.initializers.lecun_normal()),
+                ps.append((torch_linear_params(self, f"{name}_fc{i}", d, hidden),
                            (self.param(f"{name}_ln{i}_scale", nn.initializers.ones,
                                        (hidden,)),
                             self.param(f"{name}_ln{i}_bias", nn.initializers.zeros,
@@ -103,17 +102,18 @@ class CRU(nn.Module):
             return x
 
         enc_hidden = mlp3("enc", C)
-        enc_mean_p = dense_params(self, "enc_mean", hidden, lod,
-                                  init=nn.initializers.lecun_normal())
-        enc_var_p = dense_params(self, "enc_logvar", hidden, lod,
-                                 init=nn.initializers.lecun_normal())
+        enc_mean_p = torch_linear_params(self, "enc_mean", hidden, lod)
+        enc_var_p = torch_linear_params(self, "enc_logvar", hidden, lod)
 
         h = mlp3_apply(enc_hidden, all_data)
-        y_mean = dense(enc_mean_p, h)
-        # L2 "post" normalization (cru_encoder.py:83); max-guard keeps the
+        # L2 "pre" normalization: CRU_Module hard-codes
+        # _enc_out_normalization="pre" (CRU_Module.py:86), so the LAST
+        # HIDDEN layer is normalized before BOTH heads (cru_encoder.py:77-79)
+        # and the mean output is left unnormalized. Max-guard keeps the
         # gradient finite at exactly-zero rows (the zero-padded future block)
-        sq = jnp.maximum((y_mean ** 2).sum(-1, keepdims=True), 1e-16)
-        y_mean = y_mean / jnp.maximum(jnp.sqrt(sq), 1e-8)
+        sq = jnp.maximum((h ** 2).sum(-1, keepdims=True), 1e-16)
+        h = h / jnp.maximum(jnp.sqrt(sq), 1e-8)
+        y_mean = dense(enc_mean_p, h)
         y_var = _var_act(dense(enc_var_p, h), cfg.cru_enc_var_activation)
 
         # ---- transition model params (CRUCell.py:190-236) ----
@@ -126,8 +126,7 @@ class CRU(nn.Module):
             self.param(f"tm_{k}_basis", nn.initializers.zeros, (num_basis, n_entries))
             for k in ("11", "12", "21", "22")
         ]
-        coeff_p = dense_params(self, "coefficient_net", lsd, num_basis,
-                               init=nn.initializers.lecun_normal())
+        coeff_p = torch_linear_params(self, "coefficient_net", lsd, num_basis)
         log_trans_noise = self.param(
             "log_transition_noise",
             lambda key: jnp.full((1, lsd), _elup1_inv(cfg.cru_trans_covar),
@@ -231,8 +230,7 @@ class CRU(nn.Module):
 
         # ---- decoder mean head (cru_models.py:107-127) ----
         dec_hidden = mlp3("dec_mean", lsd)
-        dec_out_p = dense_params(self, "dec_out_mean", hidden, C,
-                                 init=nn.initializers.lecun_normal())
+        dec_out_p = torch_linear_params(self, "dec_out_mean", hidden, C)
         out_mean = dense(dec_out_p, mlp3_apply(dec_hidden, post_means))  # [B,T,C]
 
         return out_mean[:, L_hist:, :]

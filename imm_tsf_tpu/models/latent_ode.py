@@ -34,8 +34,6 @@ from ..ode.nets import (
 )
 from ..ode.solvers import odeint_grid, rk4_alt_step
 
-N_SUB = 4  # static rk4 substeps per encoder interval
-
 
 class LatentODE(nn.Module):
     cfg: Config
@@ -47,6 +45,15 @@ class LatentODE(nn.Module):
         D = cfg.input_dim
         latents = cfg.ode_latents
         rec_dims = cfg.ode_rec_dims
+        # static rk4 substeps per encoder interval: the TPU replacement for
+        # the reference's data-dependent sub-grid (encoder_decoder.py:287-291,
+        # up to max(2, gap/minimum_step) points). Drift vs a converged
+        # sub-grid is quantified in tests/test_models_imts.py::
+        # test_latent_ode_substep_drift (<0.5% at the default 4).
+        n_sub = cfg.ode_substeps
+        if n_sub < 1:
+            raise ValueError("ode_substeps must be >= 1 (0 would silently "
+                             "skip the encoder's ODE evolution)")
 
         B = observed_data.shape[0]
         # ODE-collate layout: shared 1-D time axes
@@ -85,12 +92,12 @@ class LatentODE(nn.Module):
             gap = prev_t - t_i
             y_small = prev_y + f_enc(prev_t, prev_y) * (t_i - prev_t)
 
-            dt = (t_i - prev_t) / N_SUB
+            dt = (t_i - prev_t) / n_sub
 
             def sub_body(y, j):
                 return rk4_alt_step(f_enc, y, prev_t + j * dt, dt), None
 
-            y_big, _ = jax.lax.scan(sub_body, prev_y, jnp.arange(N_SUB))
+            y_big, _ = jax.lax.scan(sub_body, prev_y, jnp.arange(n_sub))
             yi_ode = jnp.where(gap < minimum_step, y_small, y_big)
             yi, yi_std = gru_unit_apply(gru_p, yi_ode, prev_std, x_i)
             return (yi, yi_std, t_i), None

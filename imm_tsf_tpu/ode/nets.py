@@ -17,10 +17,22 @@ import jax.numpy as jnp
 rubanova_init = nn.initializers.normal(0.1)
 
 
-def dense_params(mdl: nn.Module, name: str, n_in: int, n_out: int, init=rubanova_init):
+def dense_params(mdl: nn.Module, name: str, n_in: int, n_out: int,
+                 init=rubanova_init, bias_init=nn.initializers.zeros):
     w = mdl.param(f"{name}_kernel", init, (n_in, n_out))
-    b = mdl.param(f"{name}_bias", nn.initializers.zeros, (n_out,))
+    b = mdl.param(f"{name}_bias", bias_init, (n_out,))
     return (w, b)
+
+
+def torch_linear_params(mdl: nn.Module, name: str, n_in: int, n_out: int):
+    """Dense params with torch nn.Linear's default init — kernel AND bias
+    ~ U(-1/sqrt(fan_in), 1/sqrt(fan_in)). Used where the reference keeps
+    torch defaults, so seeded initial states match its distribution
+    (training-trajectory parity)."""
+    from ..models.base import torch_linear_bias_init
+
+    u = torch_linear_bias_init(n_in)
+    return dense_params(mdl, name, n_in, n_out, init=u, bias_init=u)
 
 
 def dense(p, x):

@@ -11,7 +11,7 @@ sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
-from bench import bench_jax, build_batch
+from bench import bench_jax, build_batch, mfu
 from imm_tsf_tpu.config import Config, MODEL_PRESETS
 
 
@@ -50,6 +50,10 @@ def main():
          std_batch, dict(enable_text=True)),
         ("PatchTST+fusion(bf16)", dict(d_model=512, d_ff=2048, n_heads=2, e_layers=1),
          std_batch, dict(enable_text=True, compute_dtype="bfloat16")),
+        ("TimesNet", {**MODEL_PRESETS["TimesNet"], "d_model": 32, "d_ff": 32},
+         std_batch, {}),
+        ("TimeLLM", {**MODEL_PRESETS["TimeLLM"], "llm_layers_timellm": 6,
+                     "input_token_len": 16}, std_batch, dict(stride=8)),
         ("TimeMixer", dict(**MODEL_PRESETS["TimeMixer"]), std_batch, {}),
         ("TTM", dict(d_model=256, AP_levels=2, e_layers=2, d_layers=1, d_d_model=64,
                      patch_size=12, stride=12), std_batch, {}),
@@ -73,24 +77,39 @@ def main():
         cfg = cfg.replace(**preset).replace(**extra)
         t0 = time.time()
         try:
-            w = bench_jax(cfg, batch, steps=30)
-            rows.append((name, round(w, 1), round(time.time() - t0, 1)))
-            print(json.dumps({"model": name, "windows_per_sec": round(w, 1)}),
+            w, flops = bench_jax(cfg, batch, steps=30, return_flops=True)
+            u = mfu(w, flops, B)
+            rows.append((name, round(w, 1),
+                         f"{u * 100:.2f}%" if u is not None else "n/a",
+                         f"{flops / 1e9:.2f}" if flops else "n/a",
+                         round(time.time() - t0, 1)))
+            print(json.dumps({"model": name, "windows_per_sec": round(w, 1),
+                              "mfu_pct": round(u * 100, 3) if u else None}),
                   flush=True)
         except Exception as e:
-            rows.append((name, f"ERROR: {e}", 0))
+            rows.append((name, f"ERROR: {e}", "", "", 0))
             print(json.dumps({"model": name, "error": str(e)[:200]}), flush=True)
 
+    import jax
+
+    platform = jax.devices()[0].platform
     with open("/root/repo/BENCHMARKS.md", "w") as f:
         f.write("# BENCHMARKS — training-step throughput (windows/sec/chip)\n\n")
-        f.write("Measured on 1x TPU v5e chip (jitted train step incl. fwd+bwd+Adam;\n")
-        f.write("device-side 30-step scan; B=64, L=48, Lp=24, C=8; random weights).\n")
-        f.write("The torch reference on a CPU core runs the PatchTST+fusion combo at\n")
-        f.write("~24 windows/s (see bench.py vs_baseline).\n\n")
-        f.write("| Config | windows/s/chip | wall (incl. compile) s |\n|---|---|---|\n")
-        for name, w, secs in rows:
-            f.write(f"| {name} | {w} | {secs} |\n")
-    print("wrote BENCHMARKS.md", flush=True)
+        f.write(f"Measured on 1x TPU v5e chip (platform `{platform}`; jitted train\n")
+        f.write("step incl. fwd+bwd+Adam; device-side 30-step scan; B=64, L=48,\n")
+        f.write("Lp=24, C=8; random weights). MFU = XLA-cost-model FLOPs/step x\n")
+        f.write("steps/s over the 197 TFLOP/s v5e bf16 peak — these workloads are\n")
+        f.write("small and HBM/latency-bound by design (reference batch shapes).\n")
+        f.write("The torch reference on a CPU core runs the PatchTST+fusion combo\n")
+        f.write("at ~22-25 windows/s (bench.py vs_baseline).\n\n")
+        f.write("| Config | windows/s/chip | MFU | GFLOP/step | wall (incl. compile) s |\n")
+        f.write("|---|---|---|---|---|\n")
+        for name, w, u, g, secs in rows:
+            f.write(f"| {name} | {w} | {u} | {g} | {secs} |\n")
+    with open("/root/repo/BENCH_models.json", "w") as f:
+        json.dump({r[0]: {"windows_per_sec": r[1], "mfu": r[2], "gflop_per_step": r[3]}
+                   for r in rows}, f, indent=1)
+    print("wrote BENCHMARKS.md + BENCH_models.json", flush=True)
 
 
 if __name__ == "__main__":
