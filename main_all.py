@@ -7,6 +7,11 @@ Cartesian product over datasets x models x enable_text x TTF x MMF with:
 
 TPU addition: --parallel N runs combinations in N worker processes
 (host-parallel sweep orchestration, SURVEY.md §2.8 obligation c).
+Workers must not contend for one accelerator: --worker_platform cpu
+(default) forces every worker onto the host CPU before its first jax
+import; --worker_platform tpu round-robins workers over the host's chips
+via TPU_VISIBLE_DEVICES (requires >= N chips — with a single chip, run
+serially instead).
 """
 
 from __future__ import annotations
@@ -80,6 +85,22 @@ def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
     return ("ok", elapsed)
 
 
+def _init_worker(platform: str, counter) -> None:
+    """Per-worker device isolation, run before the worker's first jax
+    import (ProcessPoolExecutor initializer, spawn context)."""
+    import os
+
+    with counter.get_lock():
+        idx = counter.value
+        counter.value += 1
+    if platform == "cpu":
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    else:  # tpu: one chip per worker
+        os.environ["TPU_VISIBLE_DEVICES"] = str(idx)
+        os.environ.setdefault("TPU_PROCESS_BOUNDS", "1,1,1")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("imm-tsf-tpu sweep")
     ap.add_argument("--datasets", nargs="+", default=list(DATASETS))
@@ -92,6 +113,10 @@ def main(argv=None):
     ap.add_argument("--data_root", default="./data")
     ap.add_argument("--results_dir", default="experiment_results")
     ap.add_argument("--parallel", type=int, default=1)
+    ap.add_argument("--worker_platform", choices=["cpu", "tpu"], default="cpu",
+                    help="accelerator for --parallel workers: cpu (default; "
+                         "safe with one chip) or tpu (one chip per worker "
+                         "via TPU_VISIBLE_DEVICES round-robin)")
     args = ap.parse_args(argv)
 
     combinations = list(product(
@@ -109,9 +134,18 @@ def main(argv=None):
     total_t0 = time.time()
 
     if args.parallel > 1:
+        import multiprocessing as mp
         from concurrent.futures import ProcessPoolExecutor
 
-        with ProcessPoolExecutor(max_workers=args.parallel) as ex:
+        # spawn: children must NOT inherit an initialized jax backend, and
+        # the platform env must be set before their first jax import
+        ctx = mp.get_context("spawn")
+        worker_idx = ctx.Value("i", 0)
+        with ProcessPoolExecutor(
+            max_workers=args.parallel, mp_context=ctx,
+            initializer=_init_worker,
+            initargs=(args.worker_platform, worker_idx),
+        ) as ex:
             futures = {
                 ex.submit(
                     run_combination, c, args.batch_size, args.llm_model_fusion,

@@ -90,6 +90,24 @@ def test_sweep_resume_and_results(synth_root, tmp_path):
     assert len(list((tmp_path / "res").glob("*.json"))) == 1
 
 
+def test_sweep_parallel_workers(synth_root, tmp_path):
+    """--parallel 2 runs combos in isolated CPU workers (spawn context,
+    platform forced before the worker's first jax import) — SURVEY §2.8
+    obligation (c), VERDICT r1 item 7."""
+    import main_all
+
+    main_all.main([
+        "--datasets", "EPA-Air", "--models", "DLinear", "NeuralFlow",
+        "--enable_text", "0", "--batch_size", "16", "--epoch", "1",
+        "--data_root", synth_root, "--results_dir", str(tmp_path / "res"),
+        "--parallel", "2", "--worker_platform", "cpu",
+    ])
+    files = list((tmp_path / "res").glob("*.json"))
+    assert len(files) == 2
+    for f in files:
+        assert np.isfinite(json.loads(f.read_text())["metrics"]["mse"])
+
+
 def test_ds_summary(synth_root):
     from imm_tsf_tpu.data.summary import show_ds_summary
 

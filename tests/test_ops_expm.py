@@ -1,0 +1,48 @@
+"""expm_pade13 (the CRU hot-loop matrix exponential) vs scipy float64."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.linalg import expm as scipy_expm
+
+from imm_tsf_tpu.ops.expm import expm_pade13
+
+
+@pytest.mark.parametrize("target_norm", [0.05, 0.5, 2.0, 5.37, 20.0, 80.0])
+def test_expm_pade13_accuracy(target_norm):
+    """Matrices normalized to a target inf-norm (CRU transition norms stay
+    <~10; 80 stresses the masked-squaring path). Larger norms overflow
+    float64 expm itself for dense gaussians."""
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((6, 24, 24)).astype(np.float32)
+    M = M / np.abs(M).sum(-1).max(-1)[:, None, None] * target_norm
+    truth = np.stack([scipy_expm(m.astype(np.float64)) for m in M])
+    ours = np.asarray(expm_pade13(jnp.asarray(M), max_squarings=12))
+    rel = np.abs(ours - truth).max() / max(np.abs(truth).max(), 1e-12)
+    assert rel < 1e-5, f"norm {target_norm}: rel err {rel:.2e}"
+
+
+def test_expm_pade13_identity_and_grad():
+    import jax
+
+    Z = jnp.zeros((2, 8, 8))
+    np.testing.assert_allclose(np.asarray(expm_pade13(Z)),
+                               np.broadcast_to(np.eye(8), (2, 8, 8)), atol=1e-6)
+    # differentiable (the CRU backward path runs through it every step)
+    g = jax.grad(lambda m: expm_pade13(m).sum())(jnp.ones((1, 4, 4)) * 0.1)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_expm_vanloan_block_reuse():
+    """Top-left block of exp([[A,Q],[0,-A^T]] dt) equals exp(A dt) — the
+    identity the CRU step relies on to run ONE expm (CRUCell.py:380-381)."""
+    rng = np.random.default_rng(1)
+    n = 8
+    A = rng.standard_normal((3, n, n)).astype(np.float32) * 0.5
+    Q = np.stack([np.diag(rng.random(n).astype(np.float32)) for _ in range(3)])
+    B = np.concatenate([
+        np.concatenate([A, Q], -1),
+        np.concatenate([np.zeros_like(Q), -np.swapaxes(A, -1, -2)], -1)], -2)
+    full = np.asarray(expm_pade13(jnp.asarray(B)))
+    small = np.asarray(expm_pade13(jnp.asarray(A)))
+    np.testing.assert_allclose(full[:, :n, :n], small, atol=5e-5)
