@@ -44,15 +44,29 @@ def _init_inception_params(mdl: nn.Module, name: str, c_in: int, c_out: int,
 
 
 def _apply_inception(params, x):
-    """x [B, H, W, C_in] -> mean over kernel sizes of SAME 2-D convs."""
-    res = []
+    """x [B, H, W, C_in] -> mean over kernel sizes of SAME 2-D convs.
+
+    Fused to ONE conv: with SAME zero padding, the mean of convs with
+    kernels 1,3,...,2K-1 equals a single conv whose (2K-1)-sized kernel is
+    the mean of the center-embedded kernels (embedded zeros contribute
+    nothing at any position, borders included). Exact — validated by the
+    TimesNet full-forward weight-parity test — and cheaper: 121 taps vs
+    286 summed taps at num_kernels=6, one conv dispatch instead of six
+    (the TimesBlock branches are latency-bound small convs)."""
+    n = len(params)
+    kmax = params[-1][0].shape[0]
+    w_comb = jnp.zeros((kmax, kmax) + params[0][0].shape[2:], params[0][0].dtype)
+    b_comb = 0.0
     for w, b in params:
-        out = jax.lax.conv_general_dilated(
-            x, w, window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        res.append(out + b)
-    return jnp.stack(res, axis=-1).mean(axis=-1)
+        k = w.shape[0]
+        o = (kmax - k) // 2
+        w_comb = w_comb.at[o:o + k, o:o + k].add(w)
+        b_comb = b_comb + b
+    out = jax.lax.conv_general_dilated(
+        x, w_comb / n, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out + b_comb / n
 
 
 class TimesBlock(nn.Module):

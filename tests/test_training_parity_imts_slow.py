@@ -149,6 +149,66 @@ def test_tpatchgnn_training_quality_parity(synth_root):
     _assert_parity("tPatchGNN", ours, ref)
 
 
+class _OfflineTok:
+    """Mimics the HF tokenizer surface TimeLLM uses (eos/pad attrs +
+    __call__ -> .input_ids) without network access."""
+
+    eos_token = "<eos>"
+    pad_token = None
+
+    def __call__(self, prompts, return_tensors=None, padding=True,
+                 truncation=True, max_length=512):
+        import torch
+
+        ids = [[1 + (hash(w) % 50000) for w in p.split()][:max_length]
+               for p in prompts]
+        L = max(len(i) for i in ids)
+        ids = [i + [0] * (L - len(i)) for i in ids]
+
+        class R:
+            pass
+
+        r = R()
+        r.input_ids = torch.tensor(ids)
+        return r
+
+
+def test_timellm_training_quality_parity(synth_root):
+    """TimeLLM: the one model whose BEHAVIOR was redesigned (the textual
+    stats prompt -> learned numeric pseudo-tokens, models/timellm.py
+    docstring; VERDICT r1 missing #3). This test shows the redesign
+    reaches the same trained-quality regime as the reference's text
+    prompt. Both sides use a random-init frozen GPT-2 (zero egress; the
+    frozen LLM is a fixed random feature extractor either way)."""
+    import torch
+
+    def _offline_llm(self, model_name, layers):
+        from transformers import GPT2Config, GPT2Model
+
+        cfg = GPT2Config(num_hidden_layers=layers)
+        self.llm_model = GPT2Model(cfg)
+        self.tokenizer = _OfflineTok()
+
+    hp = dict(llm_layers_timellm=2, input_token_len=4, d_model=16, d_ff=32,
+              n_heads=2, ts_vocab_size=64, top_k=3)
+    with reference_path():
+        import models.TimeLLM as ref_tl
+
+        orig = ref_tl.TimeLLM._get_model_and_tokenizer
+        ref_tl.TimeLLM._get_model_and_tokenizer = _offline_llm
+    try:
+        ref = _train_reference(synth_root, "TimeLLM", **hp)
+    finally:
+        with reference_path():
+            import models.TimeLLM as ref_tl
+
+            ref_tl.TimeLLM._get_model_and_tokenizer = orig
+    ours = _train_ours(synth_root, "TimeLLM", llm_model_timellm="GPT2", **hp)
+    # looser band: the prompt mechanisms differ by design AND each side
+    # has its own random frozen LLM
+    _assert_parity("TimeLLM", ours, ref, rel=0.15)
+
+
 def test_fusion_training_quality_parity(synth_root):
     """DLinear + TTF_RecAvg + MMF_GR_Add with precomputed GPT2-tagged
     embeddings (BASELINE.json config #1). Both frameworks load the SAME
