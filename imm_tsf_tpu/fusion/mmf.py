@@ -18,6 +18,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..layers.attention import MultiHeadAttention
+from ..models.base import torch_linear_bias_init
+from .ttf import _torch_dense
 
 
 class MMF_GR_Add(nn.Module):
@@ -31,12 +33,18 @@ class MMF_GR_Add(nn.Module):
         B, T, C = Y_ts.shape
         x = jnp.concatenate([Y_ts, E_txt], axis=-1)  # [B,T,C+d_txt]
 
-        h = nn.RNN(nn.GRUCell(self.hidden_dim), name="gru")(x)  # [B,T,hidden]
-        delta_y = nn.Dense(C, name="residual_head")(h)
+        # torch nn.GRU inits every weight/bias U(+/-1/sqrt(hidden))
+        u = torch_linear_bias_init(self.hidden_dim)
+        h = nn.RNN(
+            nn.GRUCell(self.hidden_dim, kernel_init=u,
+                       recurrent_kernel_init=u, bias_init=u),
+            name="gru",
+        )(x)  # [B,T,hidden]
+        delta_y = _torch_dense(C, self.hidden_dim, "residual_head")(h)
         delta = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(delta_y)
         delta = nn.Dropout(self.dropout)(delta, deterministic=not train)
 
-        g = nn.sigmoid(nn.Dense(C, name="gate_net")(x))
+        g = nn.sigmoid(_torch_dense(C, C + self.d_txt, "gate_net")(x))
         mask = jnp.broadcast_to(M_txt[:, :, None], (B, T, C))
         g = jnp.where(mask, g, 1.0)  # no text -> gate fully to base forecast
         return g * Y_ts + (1 - g) * (Y_ts + delta)
@@ -66,7 +74,7 @@ class MMF_XAttn_Add(nn.Module):
         mask_attn = jnp.broadcast_to(M_txt[:, :, None], attn_out.shape)
         attn_out = jnp.where(mask_attn, attn_out, 0.0)
 
-        delta_y = nn.Dense(C, name="residual_head")(attn_out)
+        delta_y = _torch_dense(C, self.d_attn, "residual_head")(attn_out)
         delta = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(delta_y)
         delta = nn.Dropout(self.dropout)(delta, deterministic=not train)
         mask = jnp.broadcast_to(M_txt[:, :, None], (B, T, C))

@@ -25,6 +25,16 @@ import jax
 import jax.numpy as jnp
 
 from ..layers.attention import MultiHeadAttention, masked_softmax
+from ..models.base import torch_linear_bias_init
+
+
+def _torch_dense(features, fan_in, name, use_bias=True):
+    # Dense with torch nn.Linear default init (the reference's fusion
+    # layers keep torch defaults; matching the init distribution matters
+    # for seeded training-trajectory parity, ADVICE r1)
+    u = torch_linear_bias_init(fan_in)
+    return nn.Dense(features, kernel_init=u, bias_init=u, use_bias=use_bias,
+                    name=name)
 
 
 def derive_note_mask(V: jnp.ndarray) -> jnp.ndarray:
@@ -48,7 +58,7 @@ class TTF_RecAvg(nn.Module):
             note_mask = note_mask & (notes_mask > 0)
 
         # reference builds input_proj whenever d_txt is configured (:36-41)
-        V = nn.Dense(self.d_txt, name="input_proj")(V)
+        V = _torch_dense(self.d_txt, self.d_model_llm, "input_proj")(V)
 
         B, N_max, _ = V.shape
         if t_hat.ndim == 1:
@@ -74,7 +84,7 @@ class TTF_RecAvg(nn.Module):
 
         E = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(E_raw)
         E = nn.Dropout(self.dropout)(E, deterministic=not train)
-        E_txt = nn.Dense(self.d_txt, name="proj")(E)
+        E_txt = _torch_dense(self.d_txt, self.d_txt, "proj")(E)
         M_txt = note_mask.any(axis=1, keepdims=True)  # [B,1]
         return E_txt, M_txt
 
@@ -86,8 +96,8 @@ class Time2Vec(nn.Module):
 
     @nn.compact
     def __call__(self, x):  # x: (..., 1)
-        lin = nn.Dense(1, name="linear")(x)
-        per = jnp.sin(nn.Dense(self.d_tau - 1, name="periodic")(x))
+        lin = _torch_dense(1, 1, "linear")(x)
+        per = jnp.sin(_torch_dense(self.d_tau - 1, 1, "periodic")(x))
         return jnp.concatenate([lin, per], axis=-1)
 
 
@@ -104,7 +114,7 @@ class TTF_T2V_XAttn(nn.Module):
         if notes_mask is not None:
             note_mask = note_mask & (notes_mask > 0)
 
-        V = nn.Dense(self.d_txt, name="input_proj")(V)
+        V = _torch_dense(self.d_txt, self.d_model_llm, "input_proj")(V)
         B, N_max, _ = V.shape
         if t_hat.ndim == 1:
             t_hat = jnp.broadcast_to(t_hat[None], (B, t_hat.shape[0]))
@@ -114,7 +124,7 @@ class TTF_T2V_XAttn(nn.Module):
         M_txt = note_mask.any(axis=1, keepdims=True)
 
         tau_feat = Time2Vec(d_tau, name="time2vec")(tau[..., None])  # [B,N,d_tau]
-        KV = nn.Dense(self.d_txt, name="KV_proj")(
+        KV = _torch_dense(self.d_txt, self.d_txt + d_tau, "KV_proj")(
             jnp.concatenate([V, tau_feat], axis=-1)
         )  # [B, N, d_txt]
 
@@ -136,5 +146,5 @@ class TTF_T2V_XAttn(nn.Module):
         Q2 = jnp.broadcast_to(Q_param, (B, T_f, self.d_txt))
         E = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(E_attn + Q2)
         E = nn.Dropout(self.dropout)(E, deterministic=not train)
-        E_txt = nn.Dense(self.d_txt, name="proj_out")(E)
+        E_txt = _torch_dense(self.d_txt, self.d_txt, "proj_out")(E)
         return E_txt, M_txt
