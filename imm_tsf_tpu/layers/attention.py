@@ -14,7 +14,20 @@ two batched MXU matmuls; the softmax and masking fuse into them under XLA.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+def _xavier_joint_inproj(E: int):
+    """torch nn.MultiheadAttention init: xavier_uniform over the JOINT
+    [3E, E] in-projection (fan_in=E, fan_out=3E -> bound sqrt(6/4E)),
+    biases zero."""
+    bound = (6.0 / (4.0 * E)) ** 0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
 
 
 def masked_softmax(scores: jnp.ndarray, mask: jnp.ndarray | None, axis: int = -1):
@@ -51,9 +64,10 @@ class MultiHeadAttention(nn.Module):
         B, Tq, _ = q.shape
         Tk = k.shape[1]
 
-        q_p = nn.Dense(E, name="q_proj")(q)
-        k_p = nn.Dense(E, name="k_proj")(k)
-        v_p = nn.Dense(E, name="v_proj")(v)
+        xj = _xavier_joint_inproj(E)
+        q_p = nn.Dense(E, kernel_init=xj, name="q_proj")(q)
+        k_p = nn.Dense(E, kernel_init=xj, name="k_proj")(k)
+        v_p = nn.Dense(E, kernel_init=xj, name="v_proj")(v)
 
         def split(x, T):
             return x.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)  # [B,H,T,Dh]
@@ -74,4 +88,9 @@ class MultiHeadAttention(nn.Module):
         attn = nn.Dropout(self.dropout)(attn, deterministic=not train)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v_h)
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, E)
-        return nn.Dense(E, name="out_proj")(out)
+        # torch MHA keeps out_proj.weight at Linear default (kaiming
+        # uniform = +/-1/sqrt(E)) and zeroes the bias
+        from ..models.base import torch_linear_bias_init
+
+        return nn.Dense(E, kernel_init=torch_linear_bias_init(E),
+                        name="out_proj")(out)

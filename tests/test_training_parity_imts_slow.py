@@ -220,3 +220,14 @@ def test_fusion_training_quality_parity(synth_root):
     ours = _train_ours(synth_root, "DLinear",
                        enable_text=True, use_text_embeddings=True, **hp)
     _assert_parity("DLinear+TTF_RecAvg+MMF_GR_Add", ours, ref)
+
+
+def test_fusion_xattn_training_quality_parity(synth_root):
+    """The attention fusion pair: TTF_T2V_XAttn + MMF_XAttn_Add."""
+    hp = dict(llm_model_fusion="GPT2", llm_layers_fusion=6, max_length=1024,
+              TTF_module="TTF_T2V_XAttn", MMF_module="MMF_XAttn_Add",
+              d_txt=16)
+    ref = _train_reference(synth_root, "DLinear", fusion_on=True, **hp)
+    ours = _train_ours(synth_root, "DLinear",
+                       enable_text=True, use_text_embeddings=True, **hp)
+    _assert_parity("DLinear+TTF_T2V_XAttn+MMF_XAttn_Add", ours, ref, rel=0.15)
