@@ -240,8 +240,13 @@ def main():
     }
     print(json.dumps(out))
     if u is not None:
+        import jax
+
+        platform = jax.devices()[0].platform
+        peak = PEAK_FLOPS.get(platform, 0) / 1e12
         print(f"# MFU {u * 100:.2f}% ({flops_per_step / 1e9:.2f} GFLOP/step, "
-              f"XLA cost model, vs 197 TFLOP/s v5e bf16 peak)", file=sys.stderr)
+              f"XLA cost model, vs {peak:.0f} TFLOP/s {platform} peak)",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":

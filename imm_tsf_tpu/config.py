@@ -363,19 +363,26 @@ def apply_presets(
     return cfg
 
 
+def derive_npatch(history: int, patch_size: int, stride: int) -> int:
+    """npatch = ceil((history - patch_size)/stride) + 1, clamped >= 1
+    (reference main.py:748-750; the single implementation shared by the
+    CLI parser and finalize_patching)."""
+    import math
+
+    return max(1, int(math.ceil((history - patch_size) / stride)) + 1)
+
+
 def finalize_patching(cfg: Config) -> Config:
     """Derived patching values (reference lib/parse_datasets.py:742-744).
 
     The reference's `args.npatch or 5` fallback never fires because
-    main.py:748-750 always derives npatch = ceil((history - patch_size)
-    / stride) + 1 at arg-parse time; programmatic Config users who leave
-    npatch=None get the same derivation here (ADVICE r1 medium)."""
-    import math
-
+    main.py:748-750 always derives npatch at arg-parse time; programmatic
+    Config users who leave npatch=None get the same derivation here
+    (ADVICE r1 medium)."""
     patch_size = cfg.patch_size or cfg.history // 5
     npatch = cfg.npatch
     if npatch is None:
-        npatch = max(1, int(math.ceil((cfg.history - patch_size) / cfg.stride)) + 1)
+        npatch = derive_npatch(cfg.history, patch_size, cfg.stride)
     patch_stride = cfg.patch_stride or patch_size
     return cfg.replace(patch_size=patch_size, npatch=npatch, patch_stride=patch_stride)
 

@@ -91,6 +91,10 @@ def load_tokenizer(alias: str, model_dir: str | None = None):
             tok = AutoTokenizer.from_pretrained(d)
             if tok.pad_token is None:  # pad=eos (load_llm.py:98-100)
                 tok.pad_token = tok.eos_token or "[PAD]"
+            # bucketed embedding slices ids[:, :bucket] — requires RIGHT
+            # padding (Llama/DeepSeek releases often default to left);
+            # pooled means are padding-side invariant, so this is safe
+            tok.padding_side = "right"
 
             def call(texts, max_length=1024):
                 out = tok(list(texts), padding="max_length", truncation=True,
@@ -179,15 +183,18 @@ EMBED_BUCKETS = (32, 64, 128, 256, 512, 1024)
 # bucket shape. Params are a jit ARGUMENT, not a closure capture —
 # captured params would be baked into the HLO as constants (hundreds of
 # MB for GPT-2, overflowing remote-compile payloads).
-import weakref
-
-_POOLED_FWD: "weakref.WeakValueDictionary" = weakref.WeakValueDictionary()
-_POOLED_FWD_FNS: dict = {}
+# Bounded FIFO caches keyed by object id. The jitted fwd closes over the
+# model (a strong reference), so entries pin their model until evicted —
+# the bound keeps a sweep over many LLMs from growing memory monotonically.
+_CACHE_LIMIT = 4
+_POOLED_FWD_FNS: dict = {}  # id(model) -> (model, fwd)
+_DEV_PARAMS: dict = {}      # id(params) -> (params, device params)
 
 
 def _get_pooled_fwd(model):
     key = id(model)
-    if _POOLED_FWD.get(key) is not model:
+    hit = _POOLED_FWD_FNS.get(key)
+    if hit is None or hit[0] is not model:
         @jax.jit
         def fwd(p, ids, tok_mask):
             h = model.apply({"params": p}, input_ids=ids,
@@ -195,9 +202,26 @@ def _get_pooled_fwd(model):
             m = tok_mask[:, :, None].astype(h.dtype)
             return (h * m).sum(1) / jnp.clip(m.sum(1), 1e-6, None)
 
-        _POOLED_FWD[key] = model  # keyed weakly: dead ids can be reused
-        _POOLED_FWD_FNS[key] = fwd
-    return _POOLED_FWD_FNS[key]
+        while len(_POOLED_FWD_FNS) >= _CACHE_LIMIT:
+            _POOLED_FWD_FNS.pop(next(iter(_POOLED_FWD_FNS)))
+        _POOLED_FWD_FNS[key] = (model, fwd)
+        hit = _POOLED_FWD_FNS[key]
+    return hit[1]
+
+
+def _get_dev_params(params):
+    """device_put the (frozen) param tree ONCE per tree identity — without
+    this every embed_notes call re-uploads the whole LLM host->device
+    (~500MB for GPT-2 per training batch in raw-text fusion)."""
+    key = id(params)
+    hit = _DEV_PARAMS.get(key)
+    if hit is None or hit[0] is not params:
+        dev = jax.tree_util.tree_map(jnp.asarray, params)
+        while len(_DEV_PARAMS) >= _CACHE_LIMIT:
+            _DEV_PARAMS.pop(next(iter(_DEV_PARAMS)))
+        _DEV_PARAMS[key] = (params, dev)
+        hit = _DEV_PARAMS[key]
+    return hit[1]
 
 
 def embed_notes(notes_text, model, params, tokenizer, max_length: int = 1024,
@@ -229,7 +253,7 @@ def embed_notes(notes_text, model, params, tokenizer, max_length: int = 1024,
     n_flat = len(flat)
 
     _fwd = _get_pooled_fwd(model)
-    dev_params = jax.tree_util.tree_map(jnp.asarray, params)
+    dev_params = _get_dev_params(params)
     fwd = lambda ids, tok_mask: _fwd(dev_params, ids, tok_mask)
 
     real_tokens = int(tok_mask.sum())

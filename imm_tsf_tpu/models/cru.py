@@ -197,8 +197,9 @@ class CRU(nn.Module):
             # top-left block of exp(B*dt) IS exp(A*dt) (the reference
             # computes both and asserts their closeness, CRUCell.py:380-381)
             # — reusing M1 drops the second, smaller expm entirely.
-            # expm_pade13 replaces jax.scipy.linalg.expm, whose per-order
-            # lax.cond computes every Padé branch under batching.
+            # expm_taylor12 replaces jax.scipy.linalg.expm, whose per-order
+            # lax.cond computes every Padé branch under batching, and whose
+            # Padé form needs a batched LU solve (~8 matmuls on TPU).
             Bm = jnp.concatenate(
                 [jnp.concatenate([A, Q], -1),
                  jnp.concatenate([jnp.zeros_like(Q), -jnp.swapaxes(A, -2, -1)], -1)],

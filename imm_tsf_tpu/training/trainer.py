@@ -20,6 +20,7 @@ carried functionally through the step.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from functools import partial
 
@@ -35,6 +36,16 @@ from .evaluation import batch_error_sums, finalize_metrics, masked_mse_loss
 from .optim import make_optimizer
 
 logger = logging.getLogger("imm_tsf_tpu")
+
+
+def _find_shuffler(loader):
+    """Unwrap loader decorators (_EmbedNotesLoader, PrefetchIterator) to the
+    BatchIterator holding the shuffle rng; None when there isn't one."""
+    seen = 0
+    while loader is not None and not hasattr(loader, "_rng") and seen < 8:
+        loader = getattr(loader, "base", None)
+        seen += 1
+    return loader if hasattr(loader, "_rng") else None
 
 
 def _model_inputs(batch: dict):
@@ -276,9 +287,9 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
             history = meta.get("history", [])
             rng = jnp.asarray(meta["rng"], jnp.uint32)
             dr = meta.get("data_rng_state")
-            base_loader = data_obj["train_dataloader"]
-            if dr is not None and hasattr(base_loader, "_rng"):
-                base_loader._rng.bit_generator.state = dr
+            shuffler = _find_shuffler(data_obj["train_dataloader"])
+            if dr is not None and shuffler is not None:
+                shuffler._rng.bit_generator.state = dr
             logger.info(
                 "Resumed full train state (epoch %d) from %s",
                 ck_step, checkpoint_dir,
@@ -288,6 +299,13 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                 "No resumable checkpoint at %s (%s); training from scratch",
                 checkpoint_dir, e,
             )
+        except ValueError as e:
+            raise RuntimeError(
+                f"Checkpoint at {checkpoint_dir} does not match the current "
+                "model/fusion configuration (param tree mismatch) — resume "
+                "with the same --model/--enable_text/fusion settings the "
+                "experiment was trained with, or drop --load"
+            ) from e
 
     from ..data.loader import PrefetchIterator
 
@@ -356,17 +374,23 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
         )
 
         if checkpoint_dir is not None:
-            from .checkpoint import save_train_state
+            from .checkpoint import save_checkpoint, save_train_state
 
-            base_loader = data_obj["train_dataloader"]
+            shuffler = _find_shuffler(data_obj["train_dataloader"])
             meta = dict(
                 epoch=itr, best_val_mse=float(best_val_mse), best_iter=best_iter,
                 no_improve=no_improve, test_res=test_res, history=history,
                 rng=np.asarray(rng).tolist(),
-                data_rng_state=(base_loader._rng.bit_generator.state
-                                if hasattr(base_loader, "_rng") else None),
+                data_rng_state=(shuffler._rng.bit_generator.state
+                                if shuffler is not None else None),
             )
             save_train_state(checkpoint_dir, params, stats, opt_state, meta, itr)
+            if best_iter == itr:
+                # best-epoch WEIGHTS kept separately: the rolling train-state
+                # checkpoints (max_to_keep=2) would otherwise discard the
+                # model whose metrics are reported once training overfits
+                save_checkpoint(os.path.join(checkpoint_dir, "best"),
+                                params, stats, itr)
         logger.info(
             "- Epoch %03d | train loss %.5f | val mse %.5f mae %.5f | %.2fs"
             " | %.0f windows/s",

@@ -32,7 +32,6 @@ _TUPLE_STR_FLAGS = {"mesh_axis_names", "rec_ids"}  # rec_ids: entity dir names
 
 
 def get_args_from_parser(argv=None) -> Config:
-    import math
 
     parser = argparse.ArgumentParser("imm-tsf-tpu")
     default = Config()
@@ -62,9 +61,9 @@ def get_args_from_parser(argv=None) -> Config:
         # reference main.py:748-750 derives npatch at arg-parse time from the
         # pre-preset CLI values (it even overrides an explicit --npatch; we
         # keep a user-passed value, deriving only when unset)
-        kw["npatch"] = max(
-            1, int(math.ceil((kw["history"] - kw["patch_size"]) / kw["stride"])) + 1
-        )  # clamp: patch_size > history would give npatch <= 0
+        from imm_tsf_tpu.config import derive_npatch
+
+        kw["npatch"] = derive_npatch(kw["history"], kw["patch_size"], kw["stride"])
     return Config(**kw)
 
 

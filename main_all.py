@@ -138,14 +138,32 @@ def main(argv=None):
         from concurrent.futures import ProcessPoolExecutor
 
         # spawn: children must NOT inherit an initialized jax backend, and
-        # the platform env must be set before their first jax import
+        # the platform env must be set before their first jax use. Belt and
+        # braces: export in the PARENT env too (spawn children inherit it at
+        # startup, before sitecustomize/module imports), since the pool
+        # initializer only runs after interpreter startup.
+        import os
+
+        parent_env = {}
+        if args.worker_platform == "cpu":
+            for k, v in (("JAX_PLATFORM_NAME", "cpu"), ("JAX_PLATFORMS", "cpu")):
+                parent_env[k] = os.environ.get(k)
+                os.environ[k] = v
         ctx = mp.get_context("spawn")
         worker_idx = ctx.Value("i", 0)
-        with ProcessPoolExecutor(
-            max_workers=args.parallel, mp_context=ctx,
-            initializer=_init_worker,
-            initargs=(args.worker_platform, worker_idx),
-        ) as ex:
+        try:
+            pool = ProcessPoolExecutor(
+                max_workers=args.parallel, mp_context=ctx,
+                initializer=_init_worker,
+                initargs=(args.worker_platform, worker_idx),
+            )
+        finally:
+            for k, v in parent_env.items():  # restore the parent's platform
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        with pool as ex:
             futures = {
                 ex.submit(
                     run_combination, c, args.batch_size, args.llm_model_fusion,

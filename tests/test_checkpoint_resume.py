@@ -39,6 +39,33 @@ def test_resume_equals_uninterrupted(synth_root, tmp_path):
     assert [h["epoch"] for h in res_resumed["history"]] == [0, 1, 2, 3]
 
 
+def test_find_shuffler_unwraps_loader_decorators():
+    """The resume path must find the shuffle rng through loader wrappers
+    (_EmbedNotesLoader / PrefetchIterator) — a wrapped loader previously
+    saved data_rng_state=None silently, breaking resume==uninterrupted for
+    raw-text fusion runs."""
+    from imm_tsf_tpu.data.loader import BatchIterator, PrefetchIterator
+    from imm_tsf_tpu.training.trainer import _EmbedNotesLoader, _find_shuffler
+
+    base = BatchIterator([], [], 4, lambda b: {}, shuffle=True, seed=0)
+    wrapped = _EmbedNotesLoader(base, None, None, None, 16)
+    assert _find_shuffler(wrapped) is base
+    assert _find_shuffler(PrefetchIterator(wrapped)) is base
+    assert _find_shuffler(base) is base
+    assert _find_shuffler(object()) is None
+
+
+def test_best_epoch_weights_kept(synth_root, tmp_path):
+    """The reported best-epoch model stays on disk under <dir>/best even
+    as the rolling train-state checkpoints (max_to_keep=2) advance."""
+    from imm_tsf_tpu.training.checkpoint import load_checkpoint
+
+    res = trainable(_cfg(synth_root, epoch=4), checkpoint_dir=str(tmp_path / "d"))
+    p, s, step = load_checkpoint(str(tmp_path / "d" / "best"))
+    assert step == res["best_iter"]
+    assert np.isfinite(np.asarray(p["model"]["seasonal"]["kernel"])).all()
+
+
 def test_resume_skips_completed_run(synth_root, tmp_path):
     """Resuming a run whose epoch budget is already exhausted re-trains
     nothing and returns the checkpointed best metrics."""

@@ -1,15 +1,18 @@
-"""expm_pade13 (the CRU hot-loop matrix exponential) vs scipy float64."""
+"""Batched matrix exponentials (the CRU hot loop) vs scipy float64 —
+BOTH variants: expm_taylor12 is the one cru.py actually calls."""
 
 import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy.linalg import expm as scipy_expm
 
-from imm_tsf_tpu.ops.expm import expm_pade13
+from imm_tsf_tpu.ops.expm import expm_pade13, expm_taylor12
 
 
+@pytest.mark.parametrize("fn", [expm_pade13, expm_taylor12],
+                         ids=["pade13", "taylor12"])
 @pytest.mark.parametrize("target_norm", [0.05, 0.5, 2.0, 5.37, 20.0, 80.0])
-def test_expm_pade13_accuracy(target_norm):
+def test_expm_accuracy(fn, target_norm):
     """Matrices normalized to a target inf-norm (CRU transition norms stay
     <~10; 80 stresses the masked-squaring path). Larger norms overflow
     float64 expm itself for dense gaussians."""
@@ -17,7 +20,7 @@ def test_expm_pade13_accuracy(target_norm):
     M = rng.standard_normal((6, 24, 24)).astype(np.float32)
     M = M / np.abs(M).sum(-1).max(-1)[:, None, None] * target_norm
     truth = np.stack([scipy_expm(m.astype(np.float64)) for m in M])
-    ours = np.asarray(expm_pade13(jnp.asarray(M), max_squarings=12))
+    ours = np.asarray(fn(jnp.asarray(M), max_squarings=12))
     rel = np.abs(ours - truth).max() / max(np.abs(truth).max(), 1e-12)
     assert rel < 1e-5, f"norm {target_norm}: rel err {rel:.2e}"
 
