@@ -182,3 +182,31 @@ def test_patch_collate_matches(both_datasets, ref_modules):
     np.testing.assert_allclose(our_out["observed_mask"][:, :, :Lr], rm, atol=1e-6)
     rt = ref_out["observed_tp"].numpy()
     np.testing.assert_allclose(our_out["observed_tp"][:, :, :Lr], rt, atol=1e-6)
+
+
+@pytest.mark.parametrize("time_unit,history", [("hours", 96), ("weeks", 4)])
+def test_chunks_match_other_time_units(synth_root, ref_modules, time_unit, history):
+    """Bitwise chunk parity for the non-'days' unit-table rows (reference
+    lib/parse_datasets.py:32-38,69-77): hours (MIMIC/ClusterTrace-style)
+    and weeks (ILINet-style) scaling of the timestamp axis."""
+    import torch
+
+    ref_ds = ref_modules.ChunkedTimeSeriesDataset(
+        root=synth_root + "/EPA-Air",
+        history=history, pred_window=history, stride=history,
+        device=torch.device("cpu"), time_unit=time_unit,
+        normalize=True, enable_text=False,
+    )
+    from imm_tsf_tpu.data.dataset import ChunkedTimeSeriesDataset
+
+    our_ds = ChunkedTimeSeriesDataset(
+        root=synth_root + "/EPA-Air",
+        history=history, pred_window=history, stride=history,
+        time_unit=time_unit, enable_text=False, verbose=False,
+    )
+    assert len(ref_ds.chunks) == len(our_ds.chunks) > 0
+    for (rid, rtt, rvals, rmask, _), ours in zip(ref_ds.chunks, our_ds.chunks):
+        assert rid == ours.chunk_id
+        np.testing.assert_allclose(rtt.numpy(), ours.tt, atol=1e-5)
+        np.testing.assert_allclose(rvals.numpy(), ours.vals, atol=1e-5)
+        np.testing.assert_array_equal(rmask.numpy(), ours.mask)
