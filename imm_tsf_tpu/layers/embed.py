@@ -12,6 +12,7 @@ import math
 
 import flax.linen as nn
 import jax.numpy as jnp
+from ..models.base import torch_linear_kernel_init as _tk
 import numpy as np
 
 
@@ -48,7 +49,7 @@ class TimeFeatureEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, x_mark):
-        return nn.Dense(self.d_model, use_bias=False, name="embed")(x_mark)
+        return nn.Dense(self.d_model, use_bias=False, kernel_init=_tk, name="embed")(x_mark)
 
 
 class DataEmbedding(nn.Module):
@@ -97,6 +98,6 @@ class PatchEmbedding(nn.Module):
         x = unfold_patches(x, self.patch_len, self.stride)  # [B, C, P, plen]
         P = x.shape[2]
         x = x.reshape(B * C, P, self.patch_len)
-        x = nn.Dense(self.d_model, use_bias=False, name="value_embedding")(x)
+        x = nn.Dense(self.d_model, use_bias=False, kernel_init=_tk, name="value_embedding")(x)
         x = x + sinusoidal_pe(P, self.d_model)
         return nn.Dropout(self.dropout)(x, deterministic=not train), C

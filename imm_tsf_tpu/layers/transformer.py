@@ -13,6 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from .attention import masked_softmax
+from ..models.base import torch_linear_kernel_init as _tk
 
 
 class FullAttention(nn.Module):
@@ -56,12 +57,12 @@ class AttentionLayer(nn.Module):
         S = keys.shape[1]
         H = self.n_heads
         d_k = self.d_model // H
-        q = nn.Dense(d_k * H, name="query_projection")(queries).reshape(B, L, H, -1)
-        k = nn.Dense(d_k * H, name="key_projection")(keys).reshape(B, S, H, -1)
-        v = nn.Dense(d_k * H, name="value_projection")(values).reshape(B, S, H, -1)
+        q = nn.Dense(d_k * H, kernel_init=_tk, name="query_projection")(queries).reshape(B, L, H, -1)
+        k = nn.Dense(d_k * H, kernel_init=_tk, name="key_projection")(keys).reshape(B, S, H, -1)
+        v = nn.Dense(d_k * H, kernel_init=_tk, name="value_projection")(values).reshape(B, S, H, -1)
         out = self.inner(q, k, v, attn_mask=attn_mask, train=train)
         out = out.reshape(B, L, -1)
-        return nn.Dense(self.d_model, name="out_projection")(out)
+        return nn.Dense(self.d_model, kernel_init=_tk, name="out_projection")(out)
 
 
 class EncoderLayer(nn.Module):
@@ -82,8 +83,8 @@ class EncoderLayer(nn.Module):
         new_x = self.attention(x, x, x, attn_mask=attn_mask, train=train)
         x = x + drop(new_x)
         y = x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        y = drop(act(nn.Dense(d_ff, name="conv1")(y)))
-        y = drop(nn.Dense(self.d_model, name="conv2")(y))
+        y = drop(act(nn.Dense(d_ff, kernel_init=_tk, name="conv1")(y)))
+        y = drop(nn.Dense(self.d_model, kernel_init=_tk, name="conv2")(y))
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + y)
 
 
@@ -157,8 +158,8 @@ class DecoderLayer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + drop(self.cross_attention(x, cross, cross, attn_mask=cross_mask, train=train))
         y = x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        y = drop(act(nn.Dense(d_ff, name="conv1")(y)))
-        y = drop(nn.Dense(self.d_model, name="conv2")(y))
+        y = drop(act(nn.Dense(d_ff, kernel_init=_tk, name="conv1")(y)))
+        y = drop(nn.Dense(self.d_model, kernel_init=_tk, name="conv2")(y))
         return nn.LayerNorm(epsilon=1e-5, name="norm3")(x + y)
 
 
@@ -174,5 +175,5 @@ class Decoder(nn.Module):
         if self.use_norm:
             x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         if self.projection_dim is not None:
-            x = nn.Dense(self.projection_dim, name="projection")(x)
+            x = nn.Dense(self.projection_dim, kernel_init=_tk, name="projection")(x)
         return x

@@ -9,13 +9,15 @@ from __future__ import annotations
 
 import flax.linen as nn
 
+from ..models.base import torch_linear_kernel_init as _tk
+
 
 class TTMGatedLayer(nn.Module):
     out_size: int
 
     @nn.compact
     def __call__(self, x):
-        attn = nn.softmax(nn.Dense(self.out_size, name="attn_layer")(x), axis=-1)
+        attn = nn.softmax(nn.Dense(self.out_size, kernel_init=_tk, name="attn_layer")(x), axis=-1)
         return x * attn
 
 
@@ -27,9 +29,9 @@ class TTMMLP(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         hidden = x.shape[-1] * self.factor
-        x = nn.gelu(nn.Dense(hidden, name="fc1")(x))
+        x = nn.gelu(nn.Dense(hidden, kernel_init=_tk, name="fc1")(x))
         x = nn.Dropout(self.dropout)(x, deterministic=not train)
-        x = nn.Dense(self.out_features, name="fc2")(x)
+        x = nn.Dense(self.out_features, kernel_init=_tk, name="fc2")(x)
         return nn.Dropout(self.dropout)(x, deterministic=not train)
 
 

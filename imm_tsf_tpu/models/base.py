@@ -14,6 +14,18 @@ import jax
 import jax.numpy as jnp
 
 
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear's default KERNEL init with fan_in inferred from the
+    kernel shape (fan_in, fan_out): U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+
+    flax's lecun_normal has std 1/sqrt(fan_in); torch's uniform has std
+    1/sqrt(3*fan_in) — sqrt(3) smaller PER LAYER, which compounds through
+    deep MLP chains (TimeMixer started at train loss ~10 instead of ~1.3
+    purely from this). Use wherever the reference keeps torch defaults."""
+    bound = 1.0 / (shape[0] ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
 def torch_linear_bias_init(fan_in: int):
     """torch nn.Linear's default bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
 

@@ -17,6 +17,7 @@ from ..config import Config
 from ..layers.embed import PatchEmbedding
 from ..layers.transformer import AttentionLayer, Encoder, EncoderLayer, FullAttention
 from .base import pad_time
+from .base import torch_linear_kernel_init as _tk
 
 
 class PatchTST(nn.Module):
@@ -74,7 +75,7 @@ class PatchTST(nn.Module):
         head_in = enc_out.transpose(0, 1, 3, 2).reshape(B, n_vars, cfg.d_model * P)
         tp_rep = jnp.repeat(tp_to_predict[:, None, :], n_vars, axis=1)
         head_in = jnp.concatenate([head_in, tp_rep], axis=-1)
-        dec_out = nn.Dense(pred_len, name="head_linear")(head_in)
+        dec_out = nn.Dense(pred_len, kernel_init=_tk, name="head_linear")(head_in)
         dec_out = nn.Dropout(cfg.dropout)(dec_out, deterministic=not train)
         dec_out = dec_out.transpose(0, 2, 1)  # [B, pred_len, K]
 

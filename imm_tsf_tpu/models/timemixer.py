@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..layers.decomp import dft_decomp, series_decomp
 from ..layers.embed import DataEmbedding
-from .base import masked_norm, pad_time
+from .base import masked_norm, pad_time, torch_linear_kernel_init as _tk
 
 
 def _avg_pool(x, w):  # [B, T, C] -> [B, T//w, C]
@@ -43,14 +43,21 @@ def clamp_down_layers(input_len: int, down_w: int, requested: int) -> int:
 
 
 class _TimeMLP(nn.Module):
-    """Linear(T_in->T_out) + GELU + Linear(T_out->T_out) over the last axis."""
+    """Linear(in->hidden) + GELU + Linear(hidden->out) over the last axis.
+
+    Covers both reference MLP shapes: the season/trend time mixers use
+    hidden == out (Linear(T_i->T_j), GELU, Linear(T_j->T_j)); the
+    cross/out feature layers use hidden == d_ff (Linear(d_model->d_ff),
+    GELU, Linear(d_ff->d_model), reference models/TimeMixer.py:117-132)."""
 
     t_out: int
+    hidden: int | None = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.gelu(nn.Dense(self.t_out, name="fc1")(x))
-        return nn.Dense(self.t_out, name="fc2")(x)
+        x = nn.gelu(nn.Dense(self.hidden or self.t_out, kernel_init=_tk,
+                             name="fc1")(x))
+        return nn.Dense(self.t_out, kernel_init=_tk, name="fc2")(x)
 
 
 class PastDecomposableMixing(nn.Module):
@@ -69,7 +76,7 @@ class PastDecomposableMixing(nn.Module):
             else:
                 s, t = dft_decomp(x, cfg.top_k)
             if not cfg.channel_independence:
-                cross = _TimeMLP(cfg.d_model, name="cross_layer")
+                cross = _TimeMLP(cfg.d_model, hidden=cfg.d_ff, name="cross_layer")
                 s, t = cross(s), cross(t)
             seasons.append(s.transpose(0, 2, 1))  # [B, d_model, T_i]
             trends.append(t.transpose(0, 2, 1))
@@ -100,7 +107,7 @@ class PastDecomposableMixing(nn.Module):
             out_trends.append(out_low.transpose(0, 2, 1))
         out_trends = list(reversed(out_trends))
 
-        out_layer = _TimeMLP(cfg.d_model, name="out_layer")
+        out_layer = _TimeMLP(cfg.d_model, hidden=cfg.d_ff, name="out_layer")
         out_list = []
         for orig, os, ot in zip(x_list, out_seasons, out_trends):
             L = orig.shape[1]
@@ -159,8 +166,9 @@ class TimeMixer(nn.Module):
 
         # predict from coarsest scale only (reference :318-322)
         coarsest = enc_out_list[-1].transpose(0, 2, 1)  # [B, d_model, T_last]
-        dec = nn.Dense(pred_len, name="predict_layer")(coarsest).transpose(0, 2, 1)
-        dec = nn.Dense(C, name="projection")(dec)
+        dec = nn.Dense(pred_len, kernel_init=_tk,
+                       name="predict_layer")(coarsest).transpose(0, 2, 1)
+        dec = nn.Dense(C, kernel_init=_tk, name="projection")(dec)
 
         dec = dec * stdev + means
         return dec[:, :Lp, :]

@@ -25,6 +25,7 @@ import numpy as np
 from ..config import Config
 from ..layers.embed import DataEmbedding
 from .base import pad_time
+from .base import torch_linear_kernel_init as _tk
 
 
 def _init_inception_params(mdl: nn.Module, name: str, c_in: int, c_out: int,
@@ -159,7 +160,7 @@ class TimesNet(nn.Module):
         tp_rep = jnp.repeat(tp_to_predict[:, :, None], cfg.d_model, axis=2)
         enc_out = jnp.concatenate([enc_out, tp_rep], axis=1)  # [B, L+Lp, d]
         # predict_linear over the time axis (reference :89-90,131)
-        enc_out = nn.Dense(seq_len + pred_len, name="predict_linear")(
+        enc_out = nn.Dense(seq_len + pred_len, kernel_init=_tk, name="predict_linear")(
             enc_out.transpose(0, 2, 1)
         ).transpose(0, 2, 1)
 
@@ -173,7 +174,7 @@ class TimesNet(nn.Module):
                 TimesBlock(cfg, total, name=f"times_block_{i}")(enc_out, train=train)
             )
 
-        dec_out = nn.Dense(K, name="projection")(enc_out)
+        dec_out = nn.Dense(K, kernel_init=_tk, name="projection")(enc_out)
         dec_out = dec_out * stdev[:, 0, :][:, None, :] + means[:, 0, :][:, None, :]
         dec_out = dec_out[:, -pred_len:, :]
         return dec_out[:, :Lp, :]

@@ -18,6 +18,7 @@ from ..config import Config
 from ..layers.embed import unfold_patches
 from ..layers.ttm_mlp import TTMLayer
 from .base import pad_time
+from .base import torch_linear_kernel_init as _tk
 
 
 class TTMAPBlock(nn.Module):
@@ -121,14 +122,14 @@ class TTM(nn.Module):
         if xt.shape[-1] < patch_size:
             xt = jnp.pad(xt, ((0, 0), (0, 0), (0, patch_size - xt.shape[-1])))
         patches = unfold_patches(xt, patch_size, stride)  # [B, n_vars, N, P]
-        h = nn.Dense(cfg.d_model, name="patcher")(patches)  # [B, M, N, D]
+        h = nn.Dense(cfg.d_model, kernel_init=_tk, name="patcher")(patches)  # [B, M, N, D]
         h = TTMBlock(
             cfg.e_layers, cfg.AP_levels, cfg.d_model, num_patches, n_vars,
             cfg.mode, cfg.dropout, name="encoder",
         )(h, train=train)
 
         if cfg.use_decoder:
-            h = nn.Dense(cfg.d_d_model, name="decoder_adapter")(h)
+            h = nn.Dense(cfg.d_d_model, kernel_init=_tk, name="decoder_adapter")(h)
             h = TTMBlock(
                 cfg.d_layers, 0, cfg.d_d_model, num_patches, n_vars,
                 cfg.mode, cfg.dropout, name="decoder",
@@ -138,7 +139,7 @@ class TTM(nn.Module):
         B, M, N, D = h.shape
         flat = h.reshape(B, M, N * D)
         flat = nn.Dropout(cfg.dropout)(flat, deterministic=not train)
-        y = nn.Dense(pred_len, name="base_forecast_block")(flat)  # [B, M, pred_len]
+        y = nn.Dense(pred_len, kernel_init=_tk, name="base_forecast_block")(flat)  # [B, M, pred_len]
         y_hat = y.transpose(0, 2, 1)  # [B, pred_len, n_vars]
 
         if cfg.use_norm:

@@ -125,6 +125,41 @@ def _assert_parity(model, ours, ref, rel=0.12, floor=5e-3):
         model, ours["mae"], ref["mae"])
 
 
+def test_patchtst_training_quality_parity(synth_root):
+    hp = dict(d_model=64, d_ff=128, n_heads=2, e_layers=1, dropout=0.1)
+    ref = _train_reference(synth_root, "PatchTST", **hp)
+    ours = _train_ours(synth_root, "PatchTST", **hp)
+    _assert_parity("PatchTST", ours, ref)
+
+
+def test_timesnet_training_quality_parity(synth_root):
+    hp = dict(d_model=16, d_ff=32, e_layers=2, d_layers=1, top_k=3, factor=3)
+    ref = _train_reference(synth_root, "TimesNet", **hp)
+    ours = _train_ours(synth_root, "TimesNet", **hp)
+    _assert_parity("TimesNet", ours, ref)
+
+
+def test_timemixer_training_quality_parity(synth_root):
+    hp = dict(d_model=16, d_ff=32, e_layers=2)
+    ref = _train_reference(synth_root, "TimeMixer", **hp)
+    ours = _train_ours(synth_root, "TimeMixer", **hp)
+    _assert_parity("TimeMixer", ours, ref)
+
+
+def test_informer_training_quality_parity(synth_root):
+    hp = dict(d_model=64, d_ff=128, n_heads=2, e_layers=2, d_layers=1, factor=3)
+    ref = _train_reference(synth_root, "Informer", **hp)
+    ours = _train_ours(synth_root, "Informer", **hp)
+    _assert_parity("Informer", ours, ref)
+
+
+def test_ttm_training_quality_parity(synth_root):
+    hp = dict(d_model=64, patch_size=2, e_layers=2, d_layers=1)
+    ref = _train_reference(synth_root, "TTM", **hp)
+    ours = _train_ours(synth_root, "TTM", **hp)
+    _assert_parity("TTM", ours, ref)
+
+
 def test_cru_training_quality_parity(synth_root):
     hp = dict(cru_lsd=8, cru_hidden_units=16, ts=0.3)
     ref = _train_reference(synth_root, "CRU", **hp)
