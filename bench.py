@@ -85,6 +85,7 @@ def bench_jax(cfg, batch, steps=100, return_flops=False):
 
         fusion = FusionModel(cfg)
     params, stats = init_state(cfg, model, fusion, batch, jax.random.PRNGKey(0))
+    step_key = lambda i: jax.random.key(i, impl=cfg.rng_impl)
     tx = make_optimizer(cfg.lr, cfg.w_decay)
     opt_state = tx.init(params)
     forward = make_forward(cfg, model, fusion)
@@ -114,10 +115,10 @@ def bench_jax(cfg, batch, steps=100, return_flops=False):
         return params, opt_state, losses[-1]
 
     # warmup / compile
-    p, o, loss = run(params, stats, opt_state, jax.random.PRNGKey(1))
+    p, o, loss = run(params, stats, opt_state, step_key(1))
     loss.block_until_ready()
     t0 = time.perf_counter()
-    p, o, loss = run(params, stats, opt_state, jax.random.PRNGKey(2))
+    p, o, loss = run(params, stats, opt_state, step_key(2))
     loss.block_until_ready()
     dt = time.perf_counter() - t0
     B = batch["observed_data"].shape[0]
@@ -127,7 +128,7 @@ def bench_jax(cfg, batch, steps=100, return_flops=False):
     flops_per_step = None
     try:
         cost = run.lower(
-            params, stats, opt_state, jax.random.PRNGKey(1)
+            params, stats, opt_state, step_key(1)
         ).compile().cost_analysis()
         if cost and cost.get("flops"):
             flops_per_step = float(cost["flops"]) / steps

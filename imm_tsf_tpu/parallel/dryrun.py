@@ -133,6 +133,42 @@ def _tpatchgnn(n_devices: int):
     return cfg, batch
 
 
+def _llama_tensor_parallel(n_devices: int) -> None:
+    """Tensor-sharded frozen-LLM forward over a ('data','model') mesh —
+    the §2.8(b) obligation (Llama-3.1-8B doesn't fit one v5e core; its
+    weights carry 'model'-axis partition specs)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..llm.llama import LlamaConfig, LlamaModel
+    from .mesh import make_mesh
+
+    dp = max(1, n_devices // 4)
+    tp = n_devices // dp
+    mesh = make_mesh((dp, tp), ("data", "model"))
+    cfg = LlamaConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=4)
+    model = LlamaModel(cfg)
+    ids = jnp.zeros((2 * dp, 16), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), ids)
+
+    def to_sharded(x):
+        if hasattr(x, "names"):
+            return jax.device_put(x.unbox(), NamedSharding(mesh, P(*x.names)))
+        return jax.device_put(x, NamedSharding(mesh, P()))
+
+    params = jax.tree_util.tree_map(
+        to_sharded, variables["params"], is_leaf=lambda x: hasattr(x, "names")
+    )
+    ids = jax.device_put(ids, NamedSharding(mesh, P("data")))
+    out = jax.jit(lambda p, i: model.apply({"params": p}, i))(params, ids)
+    assert np.isfinite(np.asarray(out)).all()
+    print(f"  dryrun[Llama-TP]({dp}x{tp} mesh): hidden={out.shape} OK", flush=True)
+
+
 def run(n_devices: int) -> None:
     import jax
 
@@ -144,6 +180,8 @@ def run(n_devices: int) -> None:
     for build in (_flagship, _cru, _tpatchgnn):
         cfg, batch = build(n_devices)
         _dryrun_one(cfg, batch, n_devices, tag=cfg.model)
+    if n_devices >= 4:
+        _llama_tensor_parallel(n_devices)
     print(f"dryrun_multichip({n_devices}): OK", flush=True)
 
 

@@ -251,7 +251,9 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
         fusion = FusionModel(cfg)
 
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
-    rng = jax.random.PRNGKey(cfg.seed)
+    # typed key: 'rbg' generates dropout masks with the TPU hardware RNG
+    # (threefry mask generation costs ~40% of small-model train steps)
+    rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
 
     sample_batch = next(iter(data_obj["train_dataloader"]))
     rng, init_rng = jax.random.split(rng)
@@ -285,7 +287,10 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
             no_improve = int(meta["no_improve"])
             test_res = meta.get("test_res")
             history = meta.get("history", [])
-            rng = jnp.asarray(meta["rng"], jnp.uint32)
+            rng = jax.random.wrap_key_data(
+                jnp.asarray(meta["rng"], jnp.uint32),
+                impl=meta.get("rng_impl", cfg.rng_impl),
+            )
             dr = meta.get("data_rng_state")
             shuffler = _find_shuffler(data_obj["train_dataloader"])
             if dr is not None and shuffler is not None:
@@ -380,7 +385,8 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
             meta = dict(
                 epoch=itr, best_val_mse=float(best_val_mse), best_iter=best_iter,
                 no_improve=no_improve, test_res=test_res, history=history,
-                rng=np.asarray(rng).tolist(),
+                rng=np.asarray(jax.random.key_data(rng)).tolist(),
+                rng_impl=cfg.rng_impl,
                 data_rng_state=(shuffler._rng.bit_generator.state
                                 if shuffler is not None else None),
             )
