@@ -31,7 +31,7 @@ from ..layers.embed import PatchEmbedding
 from ..llm.gpt2 import GPT2Model, GPT2_SIZES
 from ..llm.llama import LLAMA_SIZES, LlamaModel
 from ..llm.bert import BertConfig, BertModel
-from .base import masked_norm, pad_time
+from .base import masked_norm, pad_time, torch_linear_kernel_init as _tk
 
 N_STAT_TOKENS = 4
 N_PROMPT_TOKENS = 32  # static length of the domain-description prompt
@@ -97,7 +97,7 @@ class TimeLLM(nn.Module):
                 jnp.broadcast_to(domain_ids[None], (B, N_PROMPT_TOKENS))
             )
         )
-        stat_tokens = nn.Dense(N_STAT_TOKENS * d_llm, name="stat_prompt")(stats)
+        stat_tokens = nn.Dense(N_STAT_TOKENS * d_llm, kernel_init=_tk, name="stat_prompt")(stats)
         stat_tokens = stat_tokens.reshape(B, N_STAT_TOKENS, d_llm)
         prompt_embeds = jnp.concatenate([domain_emb, stat_tokens], axis=1)
 
@@ -119,7 +119,7 @@ class TimeLLM(nn.Module):
 
         # ---- reprogramming (:32-61) ----
         word_emb = jax.lax.stop_gradient(llm.word_embedding_table())
-        src_emb = nn.Dense(cfg.ts_vocab_size, name="mapping_layer")(
+        src_emb = nn.Dense(cfg.ts_vocab_size, kernel_init=_tk, name="mapping_layer")(
             word_emb.T
         ).T  # [num_tokens, d_llm]
         rep_out = ReprogrammingLayer(
@@ -140,7 +140,7 @@ class TimeLLM(nn.Module):
 
         # FlattenHead (:19-29)
         flat = dec.reshape(B * n_vars, cfg.d_ff * Pn)
-        out = nn.Dense(pred_len, name="output_projection")(flat)
+        out = nn.Dense(pred_len, kernel_init=_tk, name="output_projection")(flat)
         out = nn.Dropout(cfg.dropout)(out, deterministic=not train)
         out = out.reshape(B, n_vars, pred_len).transpose(0, 2, 1)
 
@@ -162,11 +162,11 @@ class ReprogrammingLayer(nn.Module):
         Bm, Lq, _ = Q.shape
         H = self.n_heads
         d_keys = self.d_model // H
-        q = nn.Dense(d_keys * H, name="query_projection")(Q).reshape(Bm, Lq, H, -1)
-        k = nn.Dense(d_keys * H, name="key_projection")(K_src).reshape(
+        q = nn.Dense(d_keys * H, kernel_init=_tk, name="query_projection")(Q).reshape(Bm, Lq, H, -1)
+        k = nn.Dense(d_keys * H, kernel_init=_tk, name="key_projection")(K_src).reshape(
             K_src.shape[0], H, -1
         )
-        v = nn.Dense(d_keys * H, name="value_projection")(V_src).reshape(
+        v = nn.Dense(d_keys * H, kernel_init=_tk, name="value_projection")(V_src).reshape(
             V_src.shape[0], H, -1
         )
         Ek = k.shape[-1]
@@ -175,7 +175,7 @@ class ReprogrammingLayer(nn.Module):
         A = nn.softmax(scores, axis=-1)
         A = nn.Dropout(self.dropout)(A, deterministic=not train)
         out = jnp.einsum("bhls,she->blhe", A, v).reshape(Bm, Lq, -1)
-        return nn.Dense(self.d_llm, name="out_projection")(out)
+        return nn.Dense(self.d_llm, kernel_init=_tk, name="out_projection")(out)
 
 
 def _domain_token_ids(cfg: Config, n_tokens: int):

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..config import Config
 from ..layers.embed import sinusoidal_pe
 from ..layers.attention import MultiHeadAttention
+from .base import torch_linear_kernel_init as _tk
 
 
 class TorchTransformerEncoderLayer(nn.Module):
@@ -45,9 +46,9 @@ class TorchTransformerEncoderLayer(nn.Module):
         attn = MultiHeadAttention(self.d_model, self.n_heads, self.dropout,
                                   name="self_attn")(x, x, x, train=train)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + drop(attn))
-        y = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        y = nn.Dense(self.dim_feedforward, kernel_init=_tk, name="linear1")(x)
         y = drop(nn.relu(y))
-        y = nn.Dense(self.d_model, name="linear2")(y)
+        y = nn.Dense(self.d_model, kernel_init=_tk, name="linear2")(y)
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + drop(y))
 
 
@@ -66,8 +67,8 @@ class TPatchGNN(nn.Module):
         B, M, L, N = observed_data.shape
         Lp = tp_to_predict.shape[1]
 
-        te_scale = nn.Dense(1, name="te_scale")
-        te_periodic = nn.Dense(te_dim - 1, name="te_periodic")
+        te_scale = nn.Dense(1, kernel_init=_tk, name="te_scale")
+        te_periodic = nn.Dense(te_dim - 1, kernel_init=_tk, name="te_periodic")
 
         def learnable_te(tt):  # (..., 1) -> (..., te_dim)
             return jnp.concatenate(
@@ -84,9 +85,9 @@ class TPatchGNN(nn.Module):
         # --- TTCN (:182-195) ---
         F_in = 1 + te_dim
         fg = nn.Sequential([
-            nn.Dense(ttcn_dim), nn.relu,
-            nn.Dense(ttcn_dim), nn.relu,
-            nn.Dense(F_in * ttcn_dim),
+            nn.Dense(ttcn_dim, kernel_init=_tk), nn.relu,
+            nn.Dense(ttcn_dim, kernel_init=_tk), nn.relu,
+            nn.Dense(F_in * ttcn_dim, kernel_init=_tk),
         ], name="filter_generators")
         Filter = fg(X)  # (BNM, L, F_in*ttcn)
         Filter_mask = Filter * mask + (1 - mask) * (-1e8)
@@ -124,13 +125,13 @@ class TPatchGNN(nn.Module):
             nv2 = jnp.broadcast_to(
                 nodevec2_base[None, None], (B, M, node_dim, N))
             gate1 = nn.Sequential(
-                [nn.Dense(1), nn.tanh, nn.relu], name=f"nodevec_gate1_{layer}"
+                [nn.Dense(1, kernel_init=_tk), nn.tanh, nn.relu], name=f"nodevec_gate1_{layer}"
             )(jnp.concatenate([x, nv1.transpose(0, 2, 1, 3)], axis=-1))
             gate2 = nn.Sequential(
-                [nn.Dense(1), nn.tanh, nn.relu], name=f"nodevec_gate2_{layer}"
+                [nn.Dense(1, kernel_init=_tk), nn.tanh, nn.relu], name=f"nodevec_gate2_{layer}"
             )(jnp.concatenate([x, nv2.transpose(0, 3, 1, 2)], axis=-1))
-            x_p1 = gate1 * nn.Dense(node_dim, name=f"nodevec_linear1_{layer}")(x)
-            x_p2 = gate2 * nn.Dense(node_dim, name=f"nodevec_linear2_{layer}")(x)
+            x_p1 = gate1 * nn.Dense(node_dim, kernel_init=_tk, name=f"nodevec_linear1_{layer}")(x)
+            x_p2 = gate2 * nn.Dense(node_dim, kernel_init=_tk, name=f"nodevec_linear2_{layer}")(x)
             nv1 = nv1 + x_p1.transpose(0, 2, 1, 3)  # (B, M, N, node_dim)
             nv2 = nv2 + x_p2.transpose(0, 2, 3, 1)  # (B, M, node_dim, N)
             adp = nn.softmax(nn.relu(nv1 @ nv2), axis=-1)  # (B, M, N, N)
@@ -145,7 +146,7 @@ class TPatchGNN(nn.Module):
                 out.append(x1)
             hcat = jnp.concatenate(out, axis=1)  # (B, (hop+1)F, N, M)
             hcat = hcat.transpose(0, 2, 3, 1)  # (B, N, M, (hop+1)F)
-            x = nn.relu(nn.Dense(hid, name=f"gconv_mlp_{layer}")(hcat))
+            x = nn.relu(nn.Dense(hid, kernel_init=_tk, name=f"gconv_mlp_{layer}")(hcat))
 
             if layer > 0:
                 x = x_last + x
@@ -157,7 +158,7 @@ class TPatchGNN(nn.Module):
                          name="temporal_agg")(xa)  # (B*N, 1, hid)
             h = xa.reshape(B, N, hid)
         else:  # Linear
-            h = nn.Dense(hid, name="temporal_agg")(x.reshape(B, N, M * hid))
+            h = nn.Dense(hid, kernel_init=_tk, name="temporal_agg")(x.reshape(B, N, M * hid))
 
         # decoder (:282-291)
         h = jnp.repeat(h[:, :, None, :], Lp, axis=2)  # (B, N, Lp, hid)
@@ -166,9 +167,9 @@ class TPatchGNN(nn.Module):
         te_pred = learnable_te(t_hat)
         hd = jnp.concatenate([h, te_pred], axis=-1)
         dec = nn.Sequential([
-            nn.Dense(hid), nn.relu,
-            nn.Dense(hid), nn.relu,
-            nn.Dense(1),
+            nn.Dense(hid, kernel_init=_tk), nn.relu,
+            nn.Dense(hid, kernel_init=_tk), nn.relu,
+            nn.Dense(1, kernel_init=_tk),
         ], name="decoder")
         out = dec(hd)[..., 0]  # (B, N, Lp)
         return out.transpose(0, 2, 1)  # (B, Lp, N)

@@ -180,7 +180,7 @@ def run(n_devices: int) -> None:
     for build in (_flagship, _cru, _tpatchgnn):
         cfg, batch = build(n_devices)
         _dryrun_one(cfg, batch, n_devices, tag=cfg.model)
-    if n_devices >= 4:
+    if n_devices % 4 == 0:  # tp=4 must divide the head/hidden dims
         _llama_tensor_parallel(n_devices)
     print(f"dryrun_multichip({n_devices}): OK", flush=True)
 

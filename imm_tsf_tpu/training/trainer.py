@@ -253,6 +253,7 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
     # typed key: 'rbg' generates dropout masks with the TPU hardware RNG
     # (threefry mask generation costs ~40% of small-model train steps)
+    rng_impl_used = cfg.rng_impl
     rng = jax.random.key(cfg.seed, impl=cfg.rng_impl)
 
     sample_batch = next(iter(data_obj["train_dataloader"]))
@@ -287,9 +288,12 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
             no_improve = int(meta["no_improve"])
             test_res = meta.get("test_res")
             history = meta.get("history", [])
+            # checkpoints from before the typed-key change stored raw
+            # threefry words with no impl tag — default to threefry, and
+            # remember the restored key's ACTUAL impl for the next save
+            rng_impl_used = meta.get("rng_impl", "threefry2x32")
             rng = jax.random.wrap_key_data(
-                jnp.asarray(meta["rng"], jnp.uint32),
-                impl=meta.get("rng_impl", cfg.rng_impl),
+                jnp.asarray(meta["rng"], jnp.uint32), impl=rng_impl_used
             )
             dr = meta.get("data_rng_state")
             shuffler = _find_shuffler(data_obj["train_dataloader"])
@@ -386,7 +390,7 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                 epoch=itr, best_val_mse=float(best_val_mse), best_iter=best_iter,
                 no_improve=no_improve, test_res=test_res, history=history,
                 rng=np.asarray(jax.random.key_data(rng)).tolist(),
-                rng_impl=cfg.rng_impl,
+                rng_impl=rng_impl_used,  # the key's ACTUAL impl, not cfg's
                 data_rng_state=(shuffler._rng.bit_generator.state
                                 if shuffler is not None else None),
             )
