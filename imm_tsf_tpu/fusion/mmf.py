@@ -29,17 +29,44 @@ class MMF_GR_Add(nn.Module):
     dropout: float = 0.1
 
     @nn.compact
+    def _gru(self, x):
+        """torch-exact GRU (reference uses nn.GRU, MMF_GR_Add.py:43) with
+        the cuDNN trick: the input projections for ALL timesteps run as
+        ONE batched matmul before the scan, leaving only the recurrent
+        matmul sequential. Weight layout mirrors torch (W_ih stacked
+        [r; z; n], both bias vectors, every init U(+/-1/sqrt(hidden)))."""
+        import jax
+
+        B, T, D_in = x.shape
+        H = self.hidden_dim
+        u = torch_linear_bias_init(H)
+        w_ih = self.param("gru_w_ih", u, (D_in, 3 * H))
+        b_ih = self.param("gru_b_ih", u, (3 * H,))
+        w_hh = self.param("gru_w_hh", u, (H, 3 * H))
+        b_hh = self.param("gru_b_hh", u, (3 * H,))
+
+        xi = x @ w_ih + b_ih  # [B, T, 3H] — all input projections at once
+
+        def step(h, xt):
+            hh = h @ w_hh + b_hh
+            xr, xz, xn = jnp.split(xt, 3, axis=-1)
+            hr, hz, hn = jnp.split(hh, 3, axis=-1)
+            r = nn.sigmoid(xr + hr)
+            z = nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * hn)
+            h = (1 - z) * n + z * h
+            return h, h
+
+        _, hs = jax.lax.scan(step, jnp.zeros((B, H), x.dtype),
+                             xi.transpose(1, 0, 2))
+        return hs.transpose(1, 0, 2)  # [B, T, H]
+
+    @nn.compact
     def __call__(self, Y_ts, E_txt, M_txt, train: bool = False):
         B, T, C = Y_ts.shape
         x = jnp.concatenate([Y_ts, E_txt], axis=-1)  # [B,T,C+d_txt]
 
-        # torch nn.GRU inits every weight/bias U(+/-1/sqrt(hidden))
-        u = torch_linear_bias_init(self.hidden_dim)
-        h = nn.RNN(
-            nn.GRUCell(self.hidden_dim, kernel_init=u,
-                       recurrent_kernel_init=u, bias_init=u),
-            name="gru",
-        )(x)  # [B,T,hidden]
+        h = self._gru(x)  # [B,T,hidden]
         delta_y = _torch_dense(C, self.hidden_dim, "residual_head")(h)
         delta = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(delta_y)
         delta = nn.Dropout(self.dropout)(delta, deterministic=not train)

@@ -141,3 +141,38 @@ def test_torch_mha_parity():
     mod = MultiHeadAttention(E, H, 0.0)
     j_out = mod.apply({"params": params}, q, k, v, key_padding_mask=jnp.asarray(pad))
     np.testing.assert_allclose(np.asarray(j_out), t_out.numpy(), atol=2e-5)
+
+
+def test_mmf_gru_matches_torch():
+    """The custom precomputed-input GRU scan is torch-exact: copy torch
+    nn.GRU weights and compare hidden trajectories."""
+    import torch
+
+    from imm_tsf_tpu.fusion.mmf import MMF_GR_Add
+
+    B, T, C, d_txt, H = 3, 6, 2, 5, 4
+    rng = np.random.default_rng(0)
+    Y_ts = rng.standard_normal((B, T, C)).astype(np.float32)
+    E_txt = rng.standard_normal((B, T, d_txt)).astype(np.float32)
+    x = np.concatenate([Y_ts, E_txt], -1)
+
+    torch.manual_seed(0)
+    tgru = torch.nn.GRU(C + d_txt, H, batch_first=True)
+    with torch.no_grad():
+        t_out, _ = tgru(torch.tensor(x))
+    t_out = t_out.numpy()
+
+    mod = MMF_GR_Add(d_txt=d_txt, C=C, hidden_dim=H)
+    M_txt = jnp.asarray([[True]] * B)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(Y_ts),
+                         jnp.asarray(E_txt), M_txt)
+    p = dict(variables["params"])
+    t = lambda w: np.asarray(w.detach())
+    p["gru_w_ih"] = t(tgru.weight_ih_l0).T  # torch stacks [r; z; n] rows
+    p["gru_b_ih"] = t(tgru.bias_ih_l0)
+    p["gru_w_hh"] = t(tgru.weight_hh_l0).T
+    p["gru_b_hh"] = t(tgru.bias_hh_l0)
+
+    ours = np.asarray(mod.apply({"params": p}, jnp.asarray(x),
+                                method=MMF_GR_Add._gru))
+    np.testing.assert_allclose(ours, t_out, atol=1e-5)
