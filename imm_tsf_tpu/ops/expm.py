@@ -15,6 +15,8 @@ across norms 0.05-300.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -94,3 +96,58 @@ def expm_taylor12(M: jnp.ndarray, max_squarings: int = 7) -> jnp.ndarray:
         return jnp.where((i < k)[..., None, None], _mm(R, R), R)
 
     return jax.lax.fori_loop(0, max_squarings, sq, R)
+
+
+def _expm_impl(M: jnp.ndarray, max_squarings: int) -> jnp.ndarray:
+    """Platform dispatch: the fused Pallas kernel on TPU (one program per
+    batch tile, norm-tiered Taylor degree, only-as-needed squarings — see
+    ops/pallas/expm_kernel.py), the XLA Taylor chain elsewhere."""
+    if M.ndim == 3 and jax.default_backend() == "tpu":
+        from .pallas.expm_kernel import expm_pallas
+
+        # kernel computes in f32 regardless of caller dtype (covariance
+        # propagation under compute_dtype="bfloat16" still needs f32)
+        return expm_pallas(
+            M.astype(jnp.float32), max_squarings=max_squarings
+        ).astype(M.dtype)
+    return expm_taylor12(M, max_squarings=max_squarings)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def expm(M: jnp.ndarray, max_squarings: int = 7) -> jnp.ndarray:
+    """Differentiable batched expm [B, n, n] (f32).
+
+    Forward: fused Pallas kernel on TPU / Taylor-12 chain elsewhere.
+    Backward: the Frechet-block identity (Higham 2008 eq. 10.17, the same
+    trick torch.matrix_exp's autograd uses):
+
+        exp([[A, E], [0, A]]) = [[e^A, L_exp(A)[E]], [0, e^A]]
+
+    with the adjoint relation <G, L_exp(M)[dM]> = <L_exp(M^T)[G], dM>, so
+    the cotangent is the top-right block of ONE 2n-dim expm — far cheaper
+    than autodiff through the Taylor/squaring chain, and it reuses the
+    same fused kernel. G is pre-scaled to inf-norm ~2^-10 (L is linear in
+    E) so the block's squaring need matches M's own.
+    """
+    return _expm_impl(M, max_squarings)
+
+
+def _expm_fwd(M, max_squarings):
+    return _expm_impl(M, max_squarings), M
+
+
+def _expm_bwd(max_squarings, M, dR):
+    n = M.shape[-1]
+    Mt = jnp.swapaxes(M, -1, -2)
+    e_norm = jnp.max(jnp.sum(jnp.abs(dR), axis=-1), axis=-1)  # [B]
+    scale = 2.0 ** -10 / jnp.maximum(e_norm, 1e-30)
+    E = dR * scale[:, None, None]
+    Z = jnp.zeros_like(M)
+    blk = jnp.concatenate(
+        [jnp.concatenate([Mt, E], -1), jnp.concatenate([Z, Mt], -1)], -2
+    )
+    L = _expm_impl(blk, max_squarings)[:, :n, n:]
+    return (L / scale[:, None, None],)
+
+
+expm.defvjp(_expm_fwd, _expm_bwd)

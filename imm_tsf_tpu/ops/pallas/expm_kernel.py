@@ -1,0 +1,126 @@
+"""Fused Pallas TPU kernel for the batched matrix exponential.
+
+The CRU Kalman scan (reference lib/cru_components/CRUCell.py:357-391 calls
+`torch.matrix_exp` on the Van Loan block every step) spends ~87% of its
+train-step time in `expm_taylor12` when that expm runs as a plain XLA op
+chain: at CRU sizes ([B, 64, 64] blocks, 72 sequential scan steps) the
+~13-matmul Taylor/squaring chain is dispatch/pass-bound, not FLOP-bound.
+
+This kernel computes the whole scaling-and-squaring Taylor expm for a
+batch tile in ONE program, with two advantages over the XLA chain:
+
+1. Everything lives in VMEM; matmuls run back-to-back on the MXU.
+2. REAL data-dependent control flow (impossible in the traced XLA chain,
+   where masked squarings must always execute): a norm-tiered Taylor
+   degree (4 for tile inf-norm <= 1/32 — the common CRU regime, dt ~1e-2
+   — vs 12 above) and a `while_loop` that runs only the squarings the
+   tile actually needs (usually zero) instead of `max_squarings` masked
+   ones. Since the caller (`ops.expm.expm`) wraps this in a custom VJP
+   (Frechet-block trick), non-differentiable control flow is fine here.
+
+Math at each tier keeps truncation below f32 eps:
+  norm <= 1/32 : Taylor-4  (err <= (1/32)^5/5!  ~ 2.5e-10)   2 matmuls
+  norm <= 1    : Taylor-12 (err <= 1/13!        ~ 1.6e-10)   6 matmuls
+  norm >  1    : Taylor-12 on M/2^k + k squarings, k = actual tile need
+
+Used by `ops.expm.expm` on TPU; interpret mode covers CPU tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_C = tuple(1.0 / math.factorial(i) for i in range(13))
+_THETA = 1.0      # ||M/2^k|| <= 1 for the Taylor-12 + squaring path
+_THETA_T4 = 1.0 / 32.0
+
+
+def _bmm(a, b):
+    # HIGHEST: true-f32 MXU passes. Squaring amplifies one-pass bf16
+    # error to ~1e-2 relative at norm ~5 (measured) — covariance
+    # propagation needs f32, same reasoning as ops.expm._mm.
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _expm_kernel(m_ref, out_ref, *, max_squarings: int):
+    M = m_ref[:, :, :]  # [TB, n, n] f32
+    c = _C
+    n = M.shape[-1]
+    I = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), M.shape)
+    norm = jnp.max(jnp.sum(jnp.abs(M), axis=-1), axis=-1)  # inf-norm [TB]
+    k = jnp.ceil(jnp.log2(jnp.maximum(norm / _THETA, 1.0))).astype(jnp.int32)
+    k = jnp.minimum(k, max_squarings)
+    k_max = jnp.max(k)
+
+    def taylor4():
+        M2 = _bmm(M, M)
+        return c[0] * I + c[1] * M + c[2] * M2 + _bmm(
+            M2, c[3] * M + c[4] * M2
+        )
+
+    def taylor12_squared():
+        Ms = M * jnp.exp2(-k.astype(jnp.float32))[:, None, None]
+        M2 = _bmm(Ms, Ms)
+        M3 = _bmm(M2, Ms)
+        M4 = _bmm(M2, M2)
+        # Paterson-Stockmeyer, base M4: B0 + M4 (B1 + M4 (B2 + M4 B3))
+        B0 = c[0] * I + c[1] * Ms + c[2] * M2 + c[3] * M3
+        B1 = c[4] * I + c[5] * Ms + c[6] * M2 + c[7] * M3
+        B2 = c[8] * I + c[9] * Ms + c[10] * M2 + c[11] * M3
+        R = B0 + _bmm(M4, B1 + _bmm(M4, B2 + c[12] * M4))
+
+        def body(carry):
+            i, R = carry
+            R = jnp.where((i < k)[:, None, None], _bmm(R, R), R)
+            return i + 1, R
+
+        _, R = jax.lax.while_loop(lambda cr: cr[0] < k_max, body, (0, R))
+        return R
+
+    out_ref[:, :, :] = jax.lax.cond(
+        jnp.max(norm) <= _THETA_T4, taylor4, taylor12_squared
+    )
+
+
+def _batch_tile(B: int, n: int) -> int:
+    """Largest batch tile dividing B with ~12 live [n, n] f32 buffers under
+    a ~4MB VMEM budget (double-buffering headroom in 16MB)."""
+    per_item = 12 * n * n * 4
+    tb = max((4 * 1024 * 1024) // per_item, 1)
+    tb = min(tb, B)
+    while tb > 1 and B % tb:
+        tb -= 1
+    return tb
+
+
+def expm_pallas(M: jnp.ndarray, max_squarings: int = 7) -> jnp.ndarray:
+    """Batched expm of [B, n, n] f32 matrices in one fused kernel program
+    per batch tile. Same numerics as expm_taylor12 (tests/test_ops_expm.py);
+    NOT differentiable on its own — wrap via ops.expm.expm (custom VJP)."""
+    assert M.ndim == 3 and M.shape[-1] == M.shape[-2], M.shape
+    B, n, _ = M.shape
+    interpret = jax.default_backend() != "tpu"
+    TB = B if interpret else _batch_tile(B, n)
+    grid = (B // TB,)
+    kernel = lambda m_ref, out_ref: _expm_kernel(
+        m_ref, out_ref, max_squarings=max_squarings
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((TB, n, n), lambda b: (b, 0, 0),
+                               memory_space=pltpu.ANY if interpret else pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TB, n, n), lambda b: (b, 0, 0),
+                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n, n), jnp.float32),
+        interpret=interpret,
+    )(M)

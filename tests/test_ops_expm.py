@@ -49,3 +49,49 @@ def test_expm_vanloan_block_reuse():
     full = np.asarray(expm_pade13(jnp.asarray(B)))
     small = np.asarray(expm_pade13(jnp.asarray(A)))
     np.testing.assert_allclose(full[:, :n, :n], small, atol=5e-5)
+
+
+@pytest.mark.parametrize("target_norm", [0.001, 0.03, 0.2, 1.0, 6.0, 80.0])
+def test_expm_pallas_kernel_accuracy(target_norm):
+    """The fused Pallas kernel (interpret mode on CPU) across all three
+    norm tiers: Taylor-4 (<=1/32), Taylor-12 (<=1), Taylor-12+squarings."""
+    from imm_tsf_tpu.ops.pallas.expm_kernel import expm_pallas
+
+    rng = np.random.default_rng(0)
+    M = rng.standard_normal((6, 24, 24)).astype(np.float32)
+    M = M / np.abs(M).sum(-1).max(-1)[:, None, None] * target_norm
+    truth = np.stack([scipy_expm(m.astype(np.float64)) for m in M])
+    ours = np.asarray(expm_pallas(jnp.asarray(M), max_squarings=12))
+    rel = np.abs(ours - truth).max() / max(np.abs(truth).max(), 1e-12)
+    assert rel < 1e-5, f"norm {target_norm}: rel err {rel:.2e}"
+
+
+@pytest.mark.parametrize("target_norm", [0.01, 0.3, 3.0, 20.0])
+def test_expm_custom_vjp_matches_autodiff(target_norm):
+    """ops.expm.expm's Frechet-block backward (one 2n-dim expm, the
+    torch.matrix_exp autograd identity) vs autodiff through the Taylor
+    chain."""
+    import jax
+
+    from imm_tsf_tpu.ops.expm import expm
+
+    rng = np.random.default_rng(1)
+    M = rng.standard_normal((4, 12, 12)).astype(np.float32)
+    M = M / np.abs(M).sum(-1).max(-1)[:, None, None] * target_norm
+    M = jnp.asarray(M)
+    W = jnp.asarray(rng.standard_normal((4, 12, 12)).astype(np.float32))
+    g_vjp = jax.grad(lambda m: (expm(m, 7) * W).sum())(M)
+    g_ad = jax.grad(lambda m: (expm_taylor12(m, max_squarings=7) * W).sum())(M)
+    rel = float(jnp.abs(g_vjp - g_ad).max() / jnp.maximum(jnp.abs(g_ad).max(), 1e-12))
+    assert rel < 1e-5, f"norm {target_norm}: grad rel diff {rel:.2e}"
+
+
+def test_expm_custom_vjp_zero_cotangent():
+    """Zero upstream gradient must not produce NaN (the E-normalization
+    divides by the cotangent norm)."""
+    import jax
+
+    from imm_tsf_tpu.ops.expm import expm
+
+    g = jax.grad(lambda m: expm(m, 7).sum() * 0.0)(jnp.eye(4)[None] * 0.1)
+    assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() == 0.0
