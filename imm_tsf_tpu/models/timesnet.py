@@ -9,10 +9,13 @@ de-normalization.
 TPU redesign of the data-dependent reshape (SURVEY.md §7 hard part 4):
 `period = T // f` drives a dynamic [T//period, period] grid in the
 reference. Here the achievable periods {T // f : f in 1..T//2} form a
-small static set (~2*sqrt(T) values); each gets a static-shape branch and
-`lax.switch` selects by the top-k frequency through a static f->branch
-lookup table. XLA compiles every branch once; runtime executes only the
-selected ones.
+small static set (~2*sqrt(T) values); EVERY candidate gets a static-shape
+branch, all branches run unconditionally in parallel, and the k selected
+periods are picked with a one-hot einsum over the stacked branch outputs.
+Control flow (`lax.switch`) was measured 4.5x slower than computing all
+~16 candidates: TPU conditionals serialize, break fusion, and force HBM
+materialization per branch, while the branch convs themselves are tiny
+(<0.3 GFLOP total) and run fully parallel with static shapes.
 """
 
 from __future__ import annotations
@@ -115,15 +118,15 @@ class TimesBlock(nn.Module):
 
             return branch
 
-        branches = [make_branch(p) for p in cand]
-
-        # ONE switch call site, scanned over the k selected frequencies —
-        # every period branch is traced/compiled exactly once per block
-        def scan_body(_, f_idx):
-            return None, jax.lax.switch(lookup[f_idx], branches, x)
-
-        _, res = jax.lax.scan(scan_body, None, top_list)  # [k, B, T, N]
-        res = jnp.moveaxis(res, 0, -1)  # [B, T, N, k]
+        # run every candidate branch unconditionally (static shapes, no
+        # control flow), then select the k top-frequency outputs by one-hot
+        # einsum: each selected row is exactly one branch output (0-weights
+        # contribute nothing), and the selection indices carry no gradient —
+        # identical semantics to a lax.switch per frequency, but 4.5x faster
+        # on TPU where conditionals serialize and spill to HBM
+        outs = jnp.stack([make_branch(p)(x) for p in cand])  # [n_cand, B, T, N]
+        onehot = jax.nn.one_hot(lookup[top_list], len(cand), dtype=x.dtype)
+        res = jnp.einsum("kc,cbtn->btnk", onehot, outs)  # [B, T, N, k]
 
         pw = nn.softmax(period_weight, axis=1)  # [B, k]
         res = (res * pw[:, None, None, :]).sum(axis=-1)
