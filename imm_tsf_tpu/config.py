@@ -207,6 +207,12 @@ class Config:
     compute_dtype: str = "float32"  # "float32" | "bfloat16"
     host_prefetch: int = 2  # double-buffered host->device pipeline depth
     use_pallas: bool = True  # use fused Pallas kernels where profitable
+    # device-resident epoch loop: keep all collated windows in HBM and run
+    # each epoch as one lax.scan dispatch (50x fewer host round-trips);
+    # falls back to per-batch streaming for batch-dependent collates (ODE
+    # path), oversized splits, or device_loop=False
+    device_loop: bool = True
+    device_loop_max_mb: int = 4096  # resident-split size cap before fallback
     rec_ids: tuple | None = None  # entity subset (reference: main.py args.rec_ids)
 
     # --- derived at data-build time (main.py:984-987) ---

@@ -1,0 +1,225 @@
+"""Device-resident epoch execution: lax.scan over batches, ONE dispatch
+per epoch.
+
+Why: the streaming path dispatches one jitted train_step per batch from
+the host. On a remote-attached TPU each dispatch pays tunnel round-trip
+latency plus per-call host work; measured end-to-end training ran at
+~400 windows/s while the pure device step does ~20,000 windows/s — a
+50x gap that no kernel optimization can close. The TPU-native fix is to
+keep every collated window resident in HBM and run the whole epoch as a
+`lax.scan` whose body gathers its batch by index — the idiom the
+reference's per-batch GPU DataLoader (lib/parse_datasets.py:829-845)
+maps to under XLA.
+
+Exactness contract (tested in tests/test_device_loop.py):
+  - batch composition and order are IDENTICAL to the streaming
+    BatchIterator: the same numpy Generator produces the epoch
+    permutation, so checkpoint resume (data_rng_state) is unchanged;
+  - the per-step PRNG chain is the same `rng, step = split(rng)`
+    sequence, so dropout masks match bit-for-bit;
+  - evaluation returns the per-batch error-sum stack and the host
+    reduces in float64, exactly like the streaming run_evaluation.
+
+Collate-path eligibility: standard/CRU/patch collates are per-window
+independent (each window's rows depend only on that window plus global
+ceilings), so all windows can be collated once and stacked. The ODE
+collate builds a batch-union time axis — batch-dependent — and is
+detected by its non-array `n_observed_tp` key; those runs fall back to
+streaming. The patch path's per-batch `Lp` bucket varies; stacks are
+merged by zero-padding to the largest bucket, which is that path's own
+pad value (mask rows stay zero), and tPatchGNN masks pad positions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from .evaluation import batch_error_sums, masked_mse_loss
+
+
+def _unwrap(loader):
+    """Return (BatchIterator, embed_wrapper_or_None) under optional
+    _EmbedNotesLoader / PrefetchIterator wrapping."""
+    embed = None
+    while True:
+        name = type(loader).__name__
+        if name == "_EmbedNotesLoader":
+            embed = loader
+            loader = loader.base
+        elif name == "PrefetchIterator":
+            loader = loader.base
+        else:
+            break
+    return loader, embed
+
+
+def try_build_resident(loader, max_bytes: int = 4 << 30):
+    """Collate every window of the split ONCE into stacked device-ready
+    arrays [n_windows + 1, ...] (the final row is the all-zero batch-pad
+    window). Returns (resident dict, row_of: chunk_idx -> row) or None if
+    the split is batch-dependent (ODE collate), non-numeric keys remain,
+    or the resident size exceeds max_bytes."""
+    from ..data.loader import BatchIterator
+
+    if loader is None:
+        return None
+    bit, embed = _unwrap(loader)
+    if not isinstance(bit, BatchIterator):
+        return None
+
+    probe = BatchIterator(
+        bit.chunks, bit.indices, bit.batch_size, bit.collate_fn,
+        shuffle=False, pad_to_batch=False,
+    )
+    it = probe if embed is None else type(embed)(
+        probe, embed.llm, embed.llm_params, embed.tokenizer, embed.max_length
+    )
+
+    stacks: list[dict] = []
+    for out in it:
+        out.pop("n_real", None)
+        out.pop("notes_text", None)
+        if any(
+            not (isinstance(v, np.ndarray) and v.ndim >= 2)
+            for v in out.values()
+        ):
+            return None  # batch-dependent collate (e.g. ODE n_observed_tp)
+        stacks.append(out)
+    if not stacks:
+        return None
+
+    keys = stacks[0].keys()
+    if any(s.keys() != keys for s in stacks):
+        return None
+    resident = {}
+    total = 0
+    for k in keys:
+        parts = [s[k] for s in stacks]
+        # merge variable trailing buckets (patch path Lp) by zero-padding
+        # to the max — zero IS that path's pad value
+        tgt = tuple(max(p.shape[d] for p in parts) for d in range(parts[0].ndim))
+        parts = [
+            np.pad(p, [(0, t - s) for s, t in zip(p.shape, tgt)])
+            if p.shape != tgt[: p.ndim] else p
+            for p in parts
+        ]
+        arr = np.concatenate(parts, axis=0)
+        # one all-zero pad window at row n for remainder batches
+        arr = np.concatenate([arr, np.zeros((1,) + arr.shape[1:], arr.dtype)])
+        total += arr.nbytes
+        resident[k] = arr
+    if total > max_bytes:
+        return None
+    n = len(bit.indices)
+    row_of = np.full(int(max(bit.indices, default=0)) + 1, -1, np.int64)
+    row_of[np.asarray(bit.indices, np.int64)] = np.arange(n)
+    return resident, row_of
+
+
+def epoch_perm(bit, row_of, n_rows: int) -> np.ndarray:
+    """The epoch's [n_batches, B] resident-row index table, produced with
+    the SAME generator calls as BatchIterator.__iter__ (so the shuffle
+    stream and checkpoint data_rng_state semantics are unchanged).
+    Remainder slots point at the all-zero pad row."""
+    order = np.array(bit.indices)
+    if bit.shuffle:
+        bit._rng.shuffle(order)
+    rows = row_of[order]
+    B = bit.batch_size
+    n_batches = (len(rows) + B - 1) // B
+    pad_row = n_rows - 1  # the appended zero window
+    padded = np.full(n_batches * B, pad_row, np.int64)
+    padded[: len(rows)] = rows
+    return padded.reshape(n_batches, B).astype(np.int32)
+
+
+def eval_perm(bit, row_of, n_rows: int) -> np.ndarray:
+    """Fixed-order permutation for val/test splits."""
+    rows = row_of[np.array(bit.indices)]
+    B = bit.batch_size
+    n_batches = (len(rows) + B - 1) // B
+    padded = np.full(n_batches * B, n_rows - 1, np.int64)
+    padded[: len(rows)] = rows
+    return padded.reshape(n_batches, B).astype(np.int32)
+
+
+def make_epoch_runners(cfg: Config, model, fusion, tx, mesh):
+    """(run_train_epoch, run_eval_epoch) jitted over resident data.
+
+    run_train_epoch(params, stats, opt_state, rng, resident, perm)
+      -> params, stats, opt_state, rng, losses [n_batches]
+    run_eval_epoch(params, stats, resident, perm)
+      -> per-batch error-sum stack (host reduces in float64)."""
+    from .trainer import make_forward
+
+    forward = make_forward(cfg, model, fusion)
+
+    def _gather(res, idx):
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in res.items()}
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P("data"))
+            batch = {k: jax.lax.with_sharding_constraint(v, sh)
+                     for k, v in batch.items()}
+        return batch
+
+    def loss_fn(params, stats, batch, rng):
+        pred_y, new_stats = forward(params, stats, batch, True, rng)
+        loss = masked_mse_loss(
+            pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
+        )
+        return loss, new_stats
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def run_train_epoch(params, stats, opt_state, rng, res, perm):
+        def body(carry, idx):
+            params, stats, opt_state, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            batch = _gather(res, idx)
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, stats, batch, step_rng
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, stats, opt_state, rng), loss
+
+        (params, stats, opt_state, rng), losses = jax.lax.scan(
+            body, (params, stats, opt_state, rng), perm
+        )
+        return params, stats, opt_state, rng, losses
+
+    @jax.jit
+    def run_eval_epoch(params, stats, res, perm):
+        def body(_, idx):
+            batch = _gather(res, idx)
+            pred_y, _ = forward(params, stats, batch, False, None)
+            return None, batch_error_sums(
+                pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
+            )
+
+        _, sums = jax.lax.scan(body, None, perm)
+        return sums
+
+    return run_train_epoch, run_eval_epoch
+
+
+def reduce_eval_sums(sum_stack: dict) -> dict:
+    """Host-side float64 reduction of the per-batch sum stack — the same
+    SEQUENTIAL accumulation order and dtype as the streaming
+    run_evaluation (np.sum's pairwise reduction would differ in the last
+    ulps and could flip a tied early-stop decision)."""
+    out = {}
+    for k, v in sum_stack.items():
+        v = np.asarray(v, np.float64)
+        acc = v[0].copy()
+        for i in range(1, len(v)):
+            acc += v[i]
+        out[k] = acc
+    return out

@@ -322,56 +322,124 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
     if cfg.host_prefetch > 0:
         train_loader = PrefetchIterator(train_loader, depth=cfg.host_prefetch)
 
+    # --- device-resident epoch path (training/device_loop.py): collate all
+    # windows once, keep them in HBM, run each epoch/eval as ONE lax.scan
+    # dispatch. Falls back to per-batch streaming when a split is
+    # batch-dependent (ODE collate), oversized, or device_loop=False.
+    device_rt = None
+    if cfg.device_loop and not log_every:
+        from . import device_loop as DL
+
+        cap = cfg.device_loop_max_mb << 20
+        bit_train = _find_shuffler(data_obj["train_dataloader"])
+        r_train = DL.try_build_resident(data_obj["train_dataloader"], cap)
+        r_val = DL.try_build_resident(data_obj["val_dataloader"], cap)
+        test_loader = data_obj["test_dataloader"]
+        r_test = DL.try_build_resident(test_loader, cap) if test_loader else None
+        if (bit_train is not None and r_train is not None and r_val is not None
+                and (test_loader is None or r_test is not None)):
+            run_train_epoch, run_eval_epoch = DL.make_epoch_runners(
+                cfg, model, fusion, tx, mesh
+            )
+
+            def _put(res):
+                from ..parallel.mesh import replicated
+
+                sh = replicated(mesh)
+                return {k: (jax.device_put(v) if sh is None
+                            else jax.device_put(v, sh))
+                        for k, v in res.items()}
+
+            res_train, rows_train = _put(r_train[0]), r_train[1]
+            n_rows_train = next(iter(res_train.values())).shape[0]
+            bit_val = _find_shuffler(data_obj["val_dataloader"])
+            res_val = _put(r_val[0])
+            perm_val = DL.eval_perm(
+                bit_val, r_val[1], next(iter(res_val.values())).shape[0]
+            )
+            if test_loader is not None:
+                bit_test = _find_shuffler(test_loader)
+                res_test = _put(r_test[0])
+                perm_test = DL.eval_perm(
+                    bit_test, r_test[1], next(iter(res_test.values())).shape[0]
+                )
+            device_rt = True
+            logger.info(
+                "device-resident epoch loop: %d train windows in HBM",
+                n_rows_train - 1,
+            )
+
+    def _eval(params, stats, which):
+        if device_rt is not None:
+            res, perm = ((res_val, perm_val) if which == "val"
+                         else (res_test, perm_test))
+            sums = jax.device_get(run_eval_epoch(params, stats, res, perm))
+            return finalize_metrics(DL.reduce_eval_sums(sums))
+        loader = data_obj["val_dataloader" if which == "val" else "test_dataloader"]
+        return run_evaluation(eval_step, params, stats, loader, mesh)
+
     for itr in range(start_epoch, cfg.epoch):
         st = time.time()
         last_loss = np.nan
-        for step, batch in enumerate(train_loader):
-            rng, step_rng = jax.random.split(rng)
-            dev = shard_batch(batch, mesh)
-            try:
-                params, stats, opt_state, loss = train_step(
-                    params, stats, opt_state, dev, step_rng
-                )
-                last_loss = float(loss)
-            except Exception as e:  # OOM batch-skip (reference main.py:1107-1110)
-                if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
-                    # train_step donates (params, stats, opt_state); an OOM
-                    # mid-execution may have consumed those buffers, in which
-                    # case skipping would crash later with 'Array deleted' —
-                    # only skip when the donated state survived (ADVICE r1)
-                    def _alive(tree):
-                        return all(
-                            not (hasattr(leaf, "is_deleted") and leaf.is_deleted())
-                            for leaf in jax.tree_util.tree_leaves(tree)
-                        )
-
-                    if _alive(params) and _alive(stats) and _alive(opt_state):
-                        logger.warning("[OOM] step %d: skipping batch", step)
-                        continue
-                    raise RuntimeError(
-                        f"OOM at epoch {itr} step {step} invalidated donated "
-                        "training state; cannot skip this batch — reduce "
-                        "batch_size or model size"
-                    ) from e
-                raise
-            if np.isnan(last_loss):
+        if device_rt is not None:
+            perm = DL.epoch_perm(bit_train, rows_train, n_rows_train)
+            params, stats, opt_state, rng, losses = run_train_epoch(
+                params, stats, opt_state, rng, res_train, perm
+            )
+            losses = np.asarray(losses)
+            if np.isnan(losses).any():
+                step = int(np.argmax(np.isnan(losses)))
                 raise FloatingPointError(
                     f"NaN loss at epoch {itr} step {step} "
                     f"(model={cfg.model}, dataset={cfg.dataset})"
                 )
-            if log_every and step % log_every == 0:
-                logger.info("epoch %d step %d loss %.5f", itr, step, last_loss)
+            last_loss = float(losses[-1])
+        else:
+            for step, batch in enumerate(train_loader):
+                rng, step_rng = jax.random.split(rng)
+                dev = shard_batch(batch, mesh)
+                try:
+                    params, stats, opt_state, loss = train_step(
+                        params, stats, opt_state, dev, step_rng
+                    )
+                    last_loss = float(loss)
+                except Exception as e:  # OOM batch-skip (reference main.py:1107-1110)
+                    if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                        # train_step donates (params, stats, opt_state); an OOM
+                        # mid-execution may have consumed those buffers, in which
+                        # case skipping would crash later with 'Array deleted' —
+                        # only skip when the donated state survived (ADVICE r1)
+                        def _alive(tree):
+                            return all(
+                                not (hasattr(leaf, "is_deleted") and leaf.is_deleted())
+                                for leaf in jax.tree_util.tree_leaves(tree)
+                            )
 
-        val_res = run_evaluation(eval_step, params, stats, data_obj["val_dataloader"], mesh)
+                        if _alive(params) and _alive(stats) and _alive(opt_state):
+                            logger.warning("[OOM] step %d: skipping batch", step)
+                            continue
+                        raise RuntimeError(
+                            f"OOM at epoch {itr} step {step} invalidated donated "
+                            "training state; cannot skip this batch — reduce "
+                            "batch_size or model size"
+                        ) from e
+                    raise
+                if np.isnan(last_loss):
+                    raise FloatingPointError(
+                        f"NaN loss at epoch {itr} step {step} "
+                        f"(model={cfg.model}, dataset={cfg.dataset})"
+                    )
+                if log_every and step % log_every == 0:
+                    logger.info("epoch %d step %d loss %.5f", itr, step, last_loss)
+
+        val_res = _eval(params, stats, "val")
         improvement = best_val_mse - val_res["mse"]
         if improvement > cfg.early_stop_delta:
             best_val_mse = val_res["mse"]
             best_iter = itr
             no_improve = 0
             if data_obj["test_dataloader"] is not None:
-                test_res = run_evaluation(
-                    eval_step, params, stats, data_obj["test_dataloader"], mesh
-                )
+                test_res = _eval(params, stats, "test")
         else:
             no_improve += 1
 
