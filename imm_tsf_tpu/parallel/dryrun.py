@@ -133,6 +133,65 @@ def _tpatchgnn(n_devices: int):
     return cfg, batch
 
 
+def _device_epoch_dp(n_devices: int) -> None:
+    """Device-resident epoch loop (training/device_loop.py) over the data
+    mesh: the whole-epoch lax.scan whose body gathers each batch from
+    replicated HBM-resident windows and constrains it to the 'data' axis.
+    Validates that the gather + sharding-constraint + grad-psum program
+    compiles and runs multi-chip."""
+    import jax
+    import numpy as np
+
+    from bench import build_batch
+
+    from ..config import Config
+    from ..fusion.fusion_model import FusionModel
+    from ..models import get_model
+    from ..training import device_loop as DL
+    from ..training.optim import make_optimizer
+    from ..training.trainer import init_state
+    from .mesh import make_mesh, replicated
+
+    B = max(n_devices * 2, 8)
+    cfg = Config(
+        model="DLinear", enable_text=True, use_text_embeddings=True,
+        llm_model_fusion="GPT2", TTF_module="TTF_RecAvg", MMF_module="MMF_GR_Add",
+        d_txt=32, input_dim=4, input_len=24, pred_len=12, batch_size=B,
+        mesh_shape=(n_devices,),
+    )
+    batch = build_batch(B=B, L=24, Lp=12, C=4, N=4, d_txt=32, seed=3)
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    model = get_model(cfg)
+    fusion = FusionModel(cfg)
+    params, stats = init_state(cfg, model, fusion, batch, jax.random.PRNGKey(0))
+    tx = make_optimizer(cfg.lr, cfg.w_decay)
+    opt_state = tx.init(params)
+    run_train, run_eval = DL.make_epoch_runners(cfg, model, fusion, tx, mesh)
+
+    # 3-batch epoch of resident windows + the all-zero pad row, replicated
+    sh = replicated(mesh)
+    res = {
+        k: jax.device_put(
+            np.concatenate([v, v, v, np.zeros_like(v[:1])]), sh
+        )
+        for k, v in batch.items()
+    }
+    n_rows = 3 * B + 1
+    perm = np.arange(3 * B, dtype=np.int32).reshape(3, B)
+    perm[-1, -1] = n_rows - 1  # exercise the pad row
+    rng = jax.random.key(0, impl=cfg.rng_impl)
+    params, stats, opt_state, rng, losses = run_train(
+        params, stats, opt_state, rng, res, perm
+    )
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all(), "device-epoch dryrun: non-finite loss"
+    sums = jax.device_get(run_eval(params, stats, res, perm))
+    m = DL.reduce_eval_sums(sums)
+    assert all(np.isfinite(v).all() for v in m.values())
+    print(f"  dryrun[device-epoch-DP]({n_devices} devices): "
+          f"losses={losses.round(4).tolist()} OK", flush=True)
+
+
 def _llama_tensor_parallel(n_devices: int) -> None:
     """Tensor-sharded frozen-LLM forward over a ('data','model') mesh —
     the §2.8(b) obligation (Llama-3.1-8B doesn't fit one v5e core; its
@@ -180,6 +239,7 @@ def run(n_devices: int) -> None:
     for build in (_flagship, _cru, _tpatchgnn):
         cfg, batch = build(n_devices)
         _dryrun_one(cfg, batch, n_devices, tag=cfg.model)
+    _device_epoch_dp(n_devices)
     if n_devices % 4 == 0:  # tp=4 must divide the head/hidden dims
         _llama_tensor_parallel(n_devices)
     print(f"dryrun_multichip({n_devices}): OK", flush=True)
