@@ -204,7 +204,11 @@ class Config:
     rng_impl: str = "rbg"
     mesh_shape: tuple = ()  # e.g. (8,) for 8-way data parallel; () = single chip
     mesh_axis_names: tuple = ("data",)
-    compute_dtype: str = "float32"  # "float32" | "bfloat16"
+    # matmul precision: "float32" (TPU default — fp32 operands already run
+    # as single-pass bf16 on the MXU, the free AMP analog; verified
+    # bit-identical trained metrics to "bfloat16") | "bfloat16" (pin
+    # explicitly) | "highest" (true multi-pass fp32 matmuls)
+    compute_dtype: str = "float32"
     host_prefetch: int = 2  # double-buffered host->device pipeline depth
     use_pallas: bool = True  # use fused Pallas kernels where profitable
     # device-resident epoch loop: keep all collated windows in HBM and run

@@ -210,6 +210,108 @@ def make_epoch_runners(cfg: Config, model, fusion, tx, mesh):
     return run_train_epoch, run_eval_epoch
 
 
+def stage_epoch(loader) -> dict | None:
+    """Epoch-staged fallback for batch-DEPENDENT collates (the ODE path's
+    union time axis): collate the epoch's batches on host exactly as the
+    streaming loop would (consuming the same shuffle rng), then stack them
+    [n_batches, ...] so the epoch still runs as one scan dispatch.
+
+    Batches within an epoch may land in different union-axis buckets;
+    time-like 1-D axes are edge-repeat padded to the epoch max (repeats of
+    the final time are dt=0 identities for the fixed-step solvers) and
+    everything else is zero-padded (masks stay zero). Returns the stacked
+    dict, or None if any value is not a numpy array."""
+    batches = []
+    for out in loader:
+        out = dict(out)
+        out.pop("n_real", None)
+        out.pop("n_observed_tp", None)  # host-only metadata (tests use it)
+        out.pop("notes_text", None)
+        if any(not isinstance(v, np.ndarray) for v in out.values()):
+            return None
+        batches.append(out)
+    if not batches:
+        return None
+    keys = batches[0].keys()
+    if any(b.keys() != keys for b in batches):
+        return None
+    stacked = {}
+    for k in keys:
+        parts = [b[k] for b in batches]
+        tgt = tuple(max(p.shape[d] for p in parts) for d in range(parts[0].ndim))
+        padded = []
+        for p in parts:
+            if p.shape == tgt:
+                padded.append(p)
+            elif p.ndim == 1:  # shared time axis: edge-repeat (dt=0 pads)
+                padded.append(np.pad(p, (0, tgt[0] - p.shape[0]), mode="edge"))
+            else:
+                padded.append(
+                    np.pad(p, [(0, t - s) for s, t in zip(p.shape, tgt)])
+                )
+        stacked[k] = np.stack(padded)
+    return stacked
+
+
+def make_staged_runners(cfg: Config, model, fusion, tx, mesh):
+    """Scan-over-stacked-batches variants of the epoch runners, for
+    epoch-staged (batch-dependent collate) splits."""
+    from .trainer import make_forward
+
+    forward = make_forward(cfg, model, fusion)
+
+    def _constrain(batch):
+        if mesh is None:
+            return batch
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return {
+            k: jax.lax.with_sharding_constraint(
+                v, NamedSharding(mesh, P("data") if v.ndim >= 2 else P())
+            )
+            for k, v in batch.items()
+        }
+
+    def loss_fn(params, stats, batch, rng):
+        pred_y, new_stats = forward(params, stats, batch, True, rng)
+        loss = masked_mse_loss(
+            pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
+        )
+        return loss, new_stats
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def run_train_epoch(params, stats, opt_state, rng, stacked):
+        def body(carry, batch):
+            params, stats, opt_state, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            batch = _constrain(batch)
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, stats, batch, step_rng
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, stats, opt_state, rng), loss
+
+        (params, stats, opt_state, rng), losses = jax.lax.scan(
+            body, (params, stats, opt_state, rng), stacked
+        )
+        return params, stats, opt_state, rng, losses
+
+    @jax.jit
+    def run_eval_epoch(params, stats, stacked):
+        def body(_, batch):
+            batch = _constrain(batch)
+            pred_y, _ = forward(params, stats, batch, False, None)
+            return None, batch_error_sums(
+                pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
+            )
+
+        _, sums = jax.lax.scan(body, None, stacked)
+        return sums
+
+    return run_train_epoch, run_eval_epoch
+
+
 def reduce_eval_sums(sum_stack: dict) -> dict:
     """Host-side float64 reduction of the per-batch sum stack — the same
     SEQUENTIAL accumulation order and dtype as the streaming

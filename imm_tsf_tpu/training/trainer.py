@@ -104,13 +104,21 @@ def make_forward(cfg: Config, model, fusion):
     """compute_all_losses's forward path (reference lib/evaluation.py:72-100).
 
     forward(params, stats, batch, train, rng) -> (pred_y, new_stats).
-    Config.compute_dtype=="bfloat16" runs every matmul in bf16 on the MXU
-    (the TPU-native analog of the reference's AMP flag, main.py:1080-1091);
-    params and reductions stay f32."""
+
+    Mixed precision: on TPU, JAX's DEFAULT matmul precision already runs
+    fp32 operands as single-pass bf16 on the MXU — measured bit-identical
+    trained metrics to an explicit "bfloat16" precision context — so the
+    reference's AMP flag (main.py:1080-1091) is the default here, free.
+    compute_dtype options: "bfloat16" pins that behavior explicitly;
+    "highest" forces true multi-pass fp32 matmuls for precision-critical
+    runs (params and reductions are f32 in every mode)."""
 
     def forward(params, stats, batch, train: bool, rng):
         if cfg.compute_dtype == "bfloat16":
             with jax.default_matmul_precision("bfloat16"):
+                return _forward(params, stats, batch, train, rng)
+        if cfg.compute_dtype == "highest":
+            with jax.default_matmul_precision("highest"):
                 return _forward(params, stats, batch, train, rng)
         return _forward(params, stats, batch, train, rng)
 
@@ -322,13 +330,22 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
     if cfg.host_prefetch > 0:
         train_loader = PrefetchIterator(train_loader, depth=cfg.host_prefetch)
 
-    # --- device-resident epoch path (training/device_loop.py): collate all
-    # windows once, keep them in HBM, run each epoch/eval as ONE lax.scan
-    # dispatch. Falls back to per-batch streaming when a split is
-    # batch-dependent (ODE collate), oversized, or device_loop=False.
-    device_rt = None
+    # --- device-side epoch paths (training/device_loop.py): run each
+    # epoch/eval as ONE lax.scan dispatch. Preferred mode keeps all
+    # collated windows resident in HBM; batch-dependent collates (the ODE
+    # union axis) use the epoch-staged mode (host collate per epoch, one
+    # stacked upload). Oversized splits or device_loop=False stream.
+    epoch_mode = None  # "resident" | "staged" | None
     if cfg.device_loop and not log_every:
         from . import device_loop as DL
+
+        def _put(res):
+            from ..parallel.mesh import replicated
+
+            sh = replicated(mesh)
+            return {k: (jax.device_put(v) if sh is None
+                        else jax.device_put(v, sh))
+                    for k, v in res.items()}
 
         cap = cfg.device_loop_max_mb << 20
         bit_train = _find_shuffler(data_obj["train_dataloader"])
@@ -341,15 +358,6 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
             run_train_epoch, run_eval_epoch = DL.make_epoch_runners(
                 cfg, model, fusion, tx, mesh
             )
-
-            def _put(res):
-                from ..parallel.mesh import replicated
-
-                sh = replicated(mesh)
-                return {k: (jax.device_put(v) if sh is None
-                            else jax.device_put(v, sh))
-                        for k, v in res.items()}
-
             res_train, rows_train = _put(r_train[0]), r_train[1]
             n_rows_train = next(iter(res_train.values())).shape[0]
             bit_val = _find_shuffler(data_obj["val_dataloader"])
@@ -363,17 +371,38 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                 perm_test = DL.eval_perm(
                     bit_test, r_test[1], next(iter(res_test.values())).shape[0]
                 )
-            device_rt = True
+            epoch_mode = "resident"
             logger.info(
                 "device-resident epoch loop: %d train windows in HBM",
                 n_rows_train - 1,
             )
+        else:
+            # staged probe: val split is batch-composition-stable (no
+            # shuffle), so staging it both tests eligibility and yields
+            # the reusable eval stack — the train rng is untouched
+            staged_val = DL.stage_epoch(data_obj["val_dataloader"])
+            staged_test = (DL.stage_epoch(test_loader)
+                           if test_loader is not None else None)
+            if (staged_val is not None
+                    and (test_loader is None or staged_test is not None)):
+                run_train_staged, run_eval_staged = DL.make_staged_runners(
+                    cfg, model, fusion, tx, mesh
+                )
+                staged_val = _put(staged_val)
+                if staged_test is not None:
+                    staged_test = _put(staged_test)
+                epoch_mode = "staged"
+                logger.info("epoch-staged device loop (batch-dependent collate)")
 
     def _eval(params, stats, which):
-        if device_rt is not None:
+        if epoch_mode == "resident":
             res, perm = ((res_val, perm_val) if which == "val"
                          else (res_test, perm_test))
             sums = jax.device_get(run_eval_epoch(params, stats, res, perm))
+            return finalize_metrics(DL.reduce_eval_sums(sums))
+        if epoch_mode == "staged":
+            stacked = staged_val if which == "val" else staged_test
+            sums = jax.device_get(run_eval_staged(params, stats, stacked))
             return finalize_metrics(DL.reduce_eval_sums(sums))
         loader = data_obj["val_dataloader" if which == "val" else "test_dataloader"]
         return run_evaluation(eval_step, params, stats, loader, mesh)
@@ -381,11 +410,19 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
     for itr in range(start_epoch, cfg.epoch):
         st = time.time()
         last_loss = np.nan
-        if device_rt is not None:
-            perm = DL.epoch_perm(bit_train, rows_train, n_rows_train)
-            params, stats, opt_state, rng, losses = run_train_epoch(
-                params, stats, opt_state, rng, res_train, perm
-            )
+        if epoch_mode is not None:
+            if epoch_mode == "resident":
+                perm = DL.epoch_perm(bit_train, rows_train, n_rows_train)
+                params, stats, opt_state, rng, losses = run_train_epoch(
+                    params, stats, opt_state, rng, res_train, perm
+                )
+            else:
+                stacked = DL.stage_epoch(train_loader)
+                if stacked is None:
+                    raise RuntimeError("epoch staging failed mid-run")
+                params, stats, opt_state, rng, losses = run_train_staged(
+                    params, stats, opt_state, rng, stacked
+                )
             losses = np.asarray(losses)
             if np.isnan(losses).any():
                 step = int(np.argmax(np.isnan(losses)))

@@ -53,18 +53,25 @@ def test_device_loop_matches_streaming_fusion(synth_root):
         np.testing.assert_allclose(a[k], b[k], rtol=2e-4, err_msg=k)
 
 
-def test_ode_collate_falls_back(synth_root):
+def test_ode_collate_uses_staged_mode(synth_root):
     """LatentODE's batch-union collate is batch-dependent — the resident
-    build must refuse it and training must still work via streaming."""
+    build must refuse it, and the epoch-staged device path must then
+    reproduce the streaming trajectory."""
     from imm_tsf_tpu.training.device_loop import try_build_resident
 
     cfg = Config(dataset="EPA-Air", data_root=synth_root, model="LatentODE",
-                 batch_size=8, epoch=1, patience=1, seed=1)
+                 batch_size=8, epoch=2, patience=2, seed=1)
     cfg = cfg.replace(**MODEL_PRESETS["LatentODE"])
     data_obj = parse_datasets(cfg, verbose=False)
     assert try_build_resident(data_obj["train_dataloader"]) is None
-    res = trainable(cfg, data_obj=data_obj)
-    assert np.isfinite(res["mse"])
+
+    a = _run(synth_root, "LatentODE", device_loop=True)
+    b = _run(synth_root, "LatentODE", device_loop=False)
+    for k in ("mse", "mae"):
+        np.testing.assert_allclose(a[k], b[k], rtol=2e-4, err_msg=k)
+    la = [h["train_loss"] for h in a["history"]]
+    lb = [h["train_loss"] for h in b["history"]]
+    np.testing.assert_allclose(la, lb, rtol=2e-4)
 
 
 def test_resident_build_shapes(synth_root):
