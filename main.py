@@ -43,7 +43,11 @@ def get_args_from_parser(argv=None) -> Config:
         elif f.name in _TUPLE_STR_FLAGS:
             parser.add_argument(name, type=str, nargs="*", default=val)
         elif isinstance(val, bool):
-            parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+            # bare `--flag` means True (reference store_true flags, e.g.
+            # --overwrite_args main.py:47-52, so go.sh works unchanged);
+            # `--flag false` also accepted (reference lambda-bools :490-523)
+            parser.add_argument(name, nargs="?", const=True,
+                                type=lambda s: s.lower() in ("1", "true", "yes"),
                                 default=val)
         elif f.name in _OPT_INT_FLAGS or isinstance(val, int):
             parser.add_argument(name, type=int, default=val)
