@@ -100,3 +100,17 @@ def test_resident_build_shapes(synth_root):
     assert (counts[:n] == 1).all()
     ev = eval_perm(bit, row_of, n_rows)
     assert (np.sort(ev.ravel()[ev.ravel() < n]) == np.arange(n)).all()
+
+
+def test_raw_text_fusion_device_loop(synth_root):
+    """On-the-fly note embedding (use_text_embeddings=False): the
+    _EmbedNotesLoader wraps the loaders and the resident build must embed
+    each window ONCE and still match the streaming path (which re-embeds
+    every epoch)."""
+    extra = dict(enable_text=True, use_text_embeddings=False,
+                 llm_model_fusion="GPT2", llm_layers_fusion=1,
+                 TTF_module="TTF_RecAvg", MMF_module="MMF_GR_Add")
+    a = _run(synth_root, "DLinear", True, extra)
+    b = _run(synth_root, "DLinear", False, extra)
+    for k in ("mse", "mae"):
+        np.testing.assert_allclose(a[k], b[k], rtol=2e-4, err_msg=k)
