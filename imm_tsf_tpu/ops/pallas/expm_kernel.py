@@ -118,9 +118,9 @@ def expm_pallas(M: jnp.ndarray, max_squarings: int = 7) -> jnp.ndarray:
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec((TB, n, n), lambda b: (b, 0, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM)],
+                               memory_space=pl.ANY if interpret else pltpu.VMEM)],
         out_specs=pl.BlockSpec((TB, n, n), lambda b: (b, 0, 0),
-                               memory_space=pltpu.ANY if interpret else pltpu.VMEM),
+                               memory_space=pl.ANY if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n, n), jnp.float32),
         interpret=interpret,
     )(M)
