@@ -187,6 +187,16 @@ def parse_datasets(cfg: Config, verbose: bool = True) -> dict:
         rec_ids=list(cfg.rec_ids) if cfg.rec_ids else None,
         verbose=verbose,
     )
+    if verbose:
+        # dataset observability report at parse time (reference
+        # lib/parse_datasets.py:678 -> show_ds_summary :515-633)
+        try:
+            from .summary import show_ds_summary
+
+            show_ds_summary(base, cfg.dataset, time_unit=cfg.time_unit)
+        except Exception as e:  # stats are informational, never fatal
+            print(f"[summary unavailable: {e}]")
+
     b = ds.bounds
     time_max = float(cfg.history + cfg.pred_window)
 
