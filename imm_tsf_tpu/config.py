@@ -217,6 +217,12 @@ class Config:
     # path), oversized splits, or device_loop=False
     device_loop: bool = True
     device_loop_max_mb: int = 4096  # resident-split size cap before fallback
+    # observability: write a jax.profiler trace of the first post-compile
+    # epoch to this directory (inspect with tools/trace_top_ops.py or
+    # TensorBoard); debug_nans enables jax's NaN-trapping mode (the
+    # under-jit replacement for the reference's per-module NaN hooks)
+    profile_dir: str | None = None
+    debug_nans: bool = False
     rec_ids: tuple | None = None  # entity subset (reference: main.py args.rec_ids)
 
     # --- derived at data-build time (main.py:984-987) ---

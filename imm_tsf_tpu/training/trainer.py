@@ -407,9 +407,17 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
         loader = data_obj["val_dataloader" if which == "val" else "test_dataloader"]
         return run_evaluation(eval_step, params, stats, loader, mesh)
 
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
     for itr in range(start_epoch, cfg.epoch):
         st = time.time()
         last_loss = np.nan
+        # profile the first post-compile epoch (epoch 0 is dominated by
+        # XLA compilation; SURVEY.md §5.1 mandates jax.profiler traces)
+        profiling = cfg.profile_dir is not None and itr == start_epoch + 1
+        if profiling:
+            jax.profiler.start_trace(cfg.profile_dir)
         if epoch_mode is not None:
             if epoch_mode == "resident":
                 perm = DL.epoch_perm(bit_train, rows_train, n_rows_train)
@@ -470,6 +478,12 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                     logger.info("epoch %d step %d loss %.5f", itr, step, last_loss)
 
         val_res = _eval(params, stats, "val")
+        if profiling:
+            jax.block_until_ready(params)
+            jax.profiler.stop_trace()
+            logger.info("profiler trace (train+val epoch %d) -> %s "
+                        "(rank ops with tools/trace_top_ops.py)",
+                        itr, cfg.profile_dir)
         improvement = best_val_mse - val_res["mse"]
         if improvement > cfg.early_stop_delta:
             best_val_mse = val_res["mse"]

@@ -148,3 +148,35 @@ def test_embedding_precompute(synth_root, tmp_path):
         verbose=False,
     )
     assert ds.bounds.d_txt == 768  # GPT2 hidden size
+
+
+def test_predict_driver_matches_training_metrics(synth_root, tmp_path):
+    """predict.py restores the best-epoch weights and must reproduce the
+    training run's reported test metrics exactly (same eval path)."""
+    import json
+
+    import main as main_mod
+    import predict as predict_mod
+
+    save = str(tmp_path / "ckpts")
+    res = main_mod.main([
+        "--dataset", "EPA-Air", "--data_root", synth_root,
+        "--model", "DLinear", "--epoch", "2", "--patience", "2",
+        "--batch_size", "8", "--save", save, "--seed", "7",
+    ])
+    # the ExpID is random; find the experiment dir
+    import os
+
+    exp = os.listdir(save)[0].split("experiment_")[1]
+    out = predict_mod.main([
+        "--load", exp, "--dataset", "EPA-Air", "--data_root", synth_root,
+        "--model", "DLinear", "--batch_size", "8", "--save", save,
+        "--out", str(tmp_path / "preds.npz"),
+    ])
+    assert abs(out["test_mse"] - res["mse"]) < 1e-9
+    assert abs(out["test_mae"] - res["mae"]) < 1e-9
+    import numpy as np
+
+    z = np.load(tmp_path / "preds.npz")
+    assert z["pred"].shape == z["target"].shape == z["mask"].shape
+    assert np.isfinite(z["pred"]).all()
