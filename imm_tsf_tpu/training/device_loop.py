@@ -210,6 +210,30 @@ def make_epoch_runners(cfg: Config, model, fusion, tx, mesh):
     return run_train_epoch, run_eval_epoch
 
 
+def make_predict_runner(cfg: Config, model, fusion, mesh):
+    """Inference variant of the epoch runner: one scan dispatch returning
+    the stacked predictions AND the per-batch error sums (serving path,
+    predict.py)."""
+    from .trainer import make_forward
+
+    forward = make_forward(cfg, model, fusion)
+
+    @jax.jit
+    def run_predict(params, stats, res, perm):
+        def body(_, idx):
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in res.items()}
+            pred_y, _ = forward(params, stats, batch, False, None)
+            sums = batch_error_sums(
+                pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
+            )
+            return None, (pred_y, sums)
+
+        _, (preds, sums) = jax.lax.scan(body, None, perm)
+        return preds, sums
+
+    return run_predict
+
+
 def stage_epoch(loader) -> dict | None:
     """Epoch-staged fallback for batch-DEPENDENT collates (the ODE path's
     union time axis): collate the epoch's batches on host exactly as the

@@ -19,10 +19,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/imm_tsf_jax_cache")
 
 
 def main(argv=None):
@@ -44,6 +47,13 @@ def main(argv=None):
         pre.error("predict.py requires --load <ExpID> (a trained experiment)")
 
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from imm_tsf_tpu.data.loader import parse_datasets
     from imm_tsf_tpu.fusion.fusion_model import FusionModel
@@ -82,36 +92,72 @@ def main(argv=None):
     forward = make_forward(cfg, model, fusion)
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
 
-    @jax.jit
-    def predict_step(params, stats, batch):
-        pred_y, _ = forward(params, stats, batch, False, None)
-        return pred_y, batch_error_sums(
-            pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
-        )
+    from imm_tsf_tpu.training import device_loop as DL
+    from imm_tsf_tpu.training.trainer import _find_shuffler
 
-    preds, targets, masks, tps = [], [], [], []
-    acc = None
-    n_windows = 0
-    t0 = time.perf_counter()
-    for batch in loader:
-        n_real = batch.get("n_real", batch["observed_data"].shape[0])
-        dev = shard_batch(batch, mesh)
-        pred_y, sums = predict_step(params, stats, dev)
-        pred_y = np.asarray(pred_y)[:n_real]
-        preds.append(pred_y)
-        targets.append(batch["data_to_predict"][:n_real])
-        masks.append(batch["mask_predicted_data"][:n_real])
-        tp = batch["tp_to_predict"]
-        tps.append(tp[:n_real] if tp.ndim >= 2 else
-                   np.broadcast_to(tp, (n_real,) + tp.shape))
-        sums = jax.device_get(sums)
-        if acc is None:
-            acc = {k: np.asarray(v, np.float64) for k, v in sums.items()}
-        else:
-            for k in acc:
-                acc[k] += np.asarray(sums[k], np.float64)
-        n_windows += n_real
-    dt = time.perf_counter() - t0
+    resident = (DL.try_build_resident(loader, cfg.device_loop_max_mb << 20)
+                if cfg.device_loop else None)
+
+    if resident is not None:
+        # serving fast path: all windows HBM-resident, ONE scan dispatch
+        res, row_of = resident
+        bit = _find_shuffler(loader)
+        n = len(bit.indices)
+        n_rows = next(iter(res.values())).shape[0]
+        perm = DL.eval_perm(bit, row_of, n_rows)
+        res_dev = {k: jax.device_put(v) for k, v in res.items()}
+        run_predict = DL.make_predict_runner(cfg, model, fusion, mesh)
+        tw = time.perf_counter()
+        p, sum_stack = run_predict(params, stats, res_dev, perm)
+        jax.block_until_ready(p)
+        print(f"# compile+first-inference {time.perf_counter() - tw:.2f}s",
+              file=sys.stderr)
+        # throughput: re-run over a REVERSED batch order — identical work,
+        # but different argument values, so a caching execution layer
+        # (e.g. the remote-TPU tunnel) cannot serve a memoized result
+        perm_r = np.ascontiguousarray(perm[::-1])
+        t0 = time.perf_counter()
+        p2, _ = run_predict(params, stats, res_dev, perm_r)
+        jax.block_until_ready(p2)
+        dt = time.perf_counter() - t0
+        pred_flat = np.asarray(p).reshape((-1,) + p.shape[2:])[:n]
+        acc = DL.reduce_eval_sums(jax.device_get(sum_stack))
+        preds = [pred_flat]
+        targets = [res["data_to_predict"][:n]]
+        masks = [res["mask_predicted_data"][:n]]
+        tps = [res["tp_to_predict"][:n]]
+        n_windows = n
+    else:
+        @jax.jit
+        def predict_step(params, stats, batch):
+            pred_y, _ = forward(params, stats, batch, False, None)
+            return pred_y, batch_error_sums(
+                pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
+            )
+
+        preds, targets, masks, tps = [], [], [], []
+        acc = None
+        n_windows = 0
+        t0 = time.perf_counter()
+        for batch in loader:
+            n_real = batch.get("n_real", batch["observed_data"].shape[0])
+            dev = shard_batch(batch, mesh)
+            pred_y, sums = predict_step(params, stats, dev)
+            pred_y = np.asarray(pred_y)[:n_real]
+            preds.append(pred_y)
+            targets.append(batch["data_to_predict"][:n_real])
+            masks.append(batch["mask_predicted_data"][:n_real])
+            tp = batch["tp_to_predict"]
+            tps.append(tp[:n_real] if tp.ndim >= 2 else
+                       np.broadcast_to(tp, (n_real,) + tp.shape))
+            sums = jax.device_get(sums)
+            if acc is None:
+                acc = {k: np.asarray(v, np.float64) for k, v in sums.items()}
+            else:
+                for k in acc:
+                    acc[k] += np.asarray(sums[k], np.float64)
+            n_windows += n_real
+        dt = time.perf_counter() - t0
 
     metrics = finalize_metrics(acc)
     out = {f"{pre_args.split}_{k}": float(v)
