@@ -109,17 +109,20 @@ def main(argv=None):
         run_predict = DL.make_predict_runner(cfg, model, fusion, mesh)
         tw = time.perf_counter()
         p, sum_stack = run_predict(params, stats, res_dev, perm)
-        jax.block_until_ready(p)
+        p = np.asarray(p)  # full fence: compile + execute + transfer
         print(f"# compile+first-inference {time.perf_counter() - tw:.2f}s",
               file=sys.stderr)
-        # throughput: re-run over a REVERSED batch order — identical work,
-        # but different argument values, so a caching execution layer
-        # (e.g. the remote-TPU tunnel) cannot serve a memoized result
+        # throughput: re-run over a REVERSED batch order (different
+        # argument values — an execution-caching layer can't memoize) and
+        # force full host materialization: on remote-attached TPUs
+        # block_until_ready can return before unconsumed results exist,
+        # so np.asarray is the only honest fence
         perm_r = np.ascontiguousarray(perm[::-1])
         t0 = time.perf_counter()
         p2, _ = run_predict(params, stats, res_dev, perm_r)
-        jax.block_until_ready(p2)
+        p2 = np.asarray(p2)
         dt = time.perf_counter() - t0
+        assert np.isfinite(p2).all()
         pred_flat = np.asarray(p).reshape((-1,) + p.shape[2:])[:n]
         acc = DL.reduce_eval_sums(jax.device_get(sum_stack))
         preds = [pred_flat]
