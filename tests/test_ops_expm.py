@@ -95,3 +95,28 @@ def test_expm_custom_vjp_zero_cotangent():
 
     g = jax.grad(lambda m: expm(m, 7).sum() * 0.0)(jnp.eye(4)[None] * 0.1)
     assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).max() == 0.0
+
+
+@pytest.mark.parametrize("target_norm", [0.05, 0.8, 5.0, 40.0])
+def test_frechet_pair_matches_block_form(target_norm):
+    """The (value, derivative) pair recursion must equal the naive
+    2n-dim block expm's top-right block (the two algebraic forms of
+    L_exp(M)[E])."""
+    import numpy as np
+
+    from imm_tsf_tpu.ops.expm import expm_frechet_taylor12, expm_taylor12
+
+    rng = np.random.default_rng(3)
+    n = 16
+    M = rng.standard_normal((4, n, n)).astype(np.float32)
+    M *= target_norm / np.abs(M).sum(-1).max(-1, keepdims=True)[..., None]
+    E = rng.standard_normal((4, n, n)).astype(np.float32)
+    # block form with E pre-scaled so it doesn't inflate the block norm
+    s = 2.0 ** -10 / np.abs(E).sum(-1).max(-1)
+    blk = np.concatenate(
+        [np.concatenate([M, E * s[:, None, None]], -1),
+         np.concatenate([np.zeros_like(M), M], -1)], -2)
+    L_blk = np.asarray(expm_taylor12(jnp.asarray(blk), 9))[:, :n, n:] / s[:, None, None]
+    L_pair = np.asarray(expm_frechet_taylor12(jnp.asarray(M), jnp.asarray(E), 9))
+    ref_mag = np.abs(L_blk).max()
+    np.testing.assert_allclose(L_pair, L_blk, atol=2e-4 * max(ref_mag, 1.0))
