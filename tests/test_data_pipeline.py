@@ -152,3 +152,31 @@ def test_parse_datasets_end_to_end(synth_root):
         assert batch["observed_data"].shape[1] == cfg.input_len
         n_batches += 1
     assert n_batches == len(data["train_dataloader"])
+
+
+def test_collate_batch_composition_invariance(ds):
+    """standard/CRU/patch collate rows must depend only on the window
+    itself plus global ceilings — the property that makes the
+    device-resident epoch loop exact (training/device_loop.py)."""
+    from imm_tsf_tpu.data import collate as C
+
+    b = ds.bounds
+    chunks = ds.chunks[:6]
+    time_max = 14.0
+
+    for fn in (
+        lambda batch: C.standard_collate(batch, 7, time_max, b.max_obs_len,
+                                         b.max_pred_len),
+        lambda batch: C.cru_collate(batch, 7, time_max, b.max_obs_len,
+                                    b.max_pred_len),
+        lambda batch: C.patch_collate(batch, 7, time_max, b.max_pred_len,
+                                      2.0, 2.0, 4, max_patch_len=64),
+    ):
+        full = fn(chunks)
+        for i, c in enumerate(chunks):
+            solo = fn([c])
+            for k in full:
+                np.testing.assert_array_equal(
+                    full[k][i], solo[k][0],
+                    err_msg=f"{fn} key {k} window {i} depends on batchmates",
+                )
