@@ -233,6 +233,18 @@ def parse_datasets(cfg: Config, verbose: bool = True) -> dict:
 
     collate_fn = make_collate(cfg.model)
     train_idx, val_idx, test_idx = split_indices(ds.chunks, cfg.split_method)
+    if not train_idx or not val_idx:
+        # an empty val split surfaces later as an obscure failure inside
+        # evaluation; fail at parse time with the actual cause (e.g. the
+        # 60/20/20 sample split yields zero val chunks for records with
+        # <3 chunks: int(2*0.6)=int(2*0.8)=1)
+        raise ValueError(
+            f"Empty {'train' if not train_idx else 'val'} split: "
+            f"{len(ds.chunks)} chunks -> train={len(train_idx)}, "
+            f"val={len(val_idx)}, test={len(test_idx)} with "
+            f"split_method={cfg.split_method!r}. Use more data, a smaller "
+            "stride, or split_method='instance'."
+        )
     if verbose:
         print(
             f"After chunking & splitting ({cfg.split_method}): "

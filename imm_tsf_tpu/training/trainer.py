@@ -193,6 +193,8 @@ def run_evaluation(eval_step, params, stats, loader, mesh) -> dict:
         else:
             for k in acc:
                 acc[k] += np.asarray(sums[k], np.float64)
+    if acc is None:
+        raise ValueError("evaluation loader yielded no batches (empty split)")
     return finalize_metrics(acc)
 
 
