@@ -4,6 +4,8 @@ checkpoint round-trip, embedding precompute."""
 import json
 import os
 
+import pytest
+
 import numpy as np
 
 from imm_tsf_tpu.config import Config, apply_presets
@@ -180,3 +182,24 @@ def test_predict_driver_matches_training_metrics(synth_root, tmp_path):
     z = np.load(tmp_path / "preds.npz")
     assert z["pred"].shape == z["target"].shape == z["mask"].shape
     assert np.isfinite(z["pred"]).all()
+
+
+@pytest.mark.parametrize("ds,gen_kw", [
+    ("ILINet", dict(n_days=1500, obs_per_day=0.15, notes_per_day=0.05)),
+    ("MIMIC", dict(n_days=20, obs_per_day=30.0, notes_per_day=3.0)),
+])
+def test_dataset_preset_time_units_e2e(tmp_path, ds, gen_kw):
+    """Non-daily time-unit presets (weeks/hours, reference main.py:790-834)
+    drive chunking + training end-to-end."""
+    from imm_tsf_tpu.config import Config, apply_presets
+    from imm_tsf_tpu.data.synthetic import make_synthetic_dataset
+    from imm_tsf_tpu.training.trainer import trainable
+
+    make_synthetic_dataset(str(tmp_path / ds), n_entities=3, n_features=2,
+                           seed=2, **gen_kw)
+    cfg = Config(dataset=ds, data_root=str(tmp_path), model="DLinear",
+                 batch_size=8, epoch=1, patience=1, overwrite_args=True)
+    cfg = apply_presets(cfg, {}, {})
+    assert cfg.time_unit == ("weeks" if ds == "ILINet" else "hours")
+    res = trainable(cfg)
+    assert np.isfinite(res["mse"])
