@@ -93,38 +93,35 @@ def main():
     import jax
 
     platform = jax.devices()[0].platform
-    with open("/root/repo/BENCHMARKS.md", "w") as f:
-        f.write("# BENCHMARKS — training-step throughput (windows/sec/chip)\n\n")
-        f.write(f"Measured on 1x TPU v5e chip (platform `{platform}`; jitted train\n")
-        f.write("step incl. fwd+bwd+Adam; device-side 30-step scan; B=64, L=48,\n")
-        f.write("Lp=24, C=8; random weights). MFU = XLA-cost-model FLOPs/step x\n")
-        f.write("steps/s over the 197 TFLOP/s v5e bf16 peak — these workloads are\n")
-        f.write("small and HBM/latency-bound by design (reference batch shapes).\n")
-        f.write("The torch reference on a CPU core runs the PatchTST+fusion combo\n")
-        f.write("at ~22-25 windows/s (bench.py vs_baseline).\n\n")
-        f.write("| Config | windows/s/chip | MFU | GFLOP/step | wall (incl. compile) s |\n")
-        f.write("|---|---|---|---|---|\n")
-        for name, w, u, g, secs in rows:
-            f.write(f"| {name} | {w} | {u} | {g} | {secs} |\n")
-        try:
-            with open("/root/repo/BENCH_embed.json") as ef:
-                emb = json.load(ef)
-            f.write(
-                f"\n## Embedding stage (tools/bench_embed.py)\n\n"
-                f"**{emb['value']:.0f} real tokens/s** — length-bucketed "
-                f"batched frozen GPT-2 vs the reference's one-note-per-"
-                f"forward max_length-padded CPU loop: "
-                f"**{emb['vs_baseline']:.0f}x** (`BENCH_embed.json`).\n"
-            )
-        except FileNotFoundError:
-            pass
-        f.write(
-            "\n## End-to-end training (main.py, data pipeline included)\n\n"
-            "The device-resident epoch loop (training/device_loop.py) runs "
-            "each epoch as one lax.scan dispatch: measured 4.2-6.1k "
-            "windows/s wall vs ~0.4k with per-batch dispatch on the "
-            "remote-attached chip (PatchTST, synthetic EPA-Air, B=64).\n"
-        )
+    header = (
+        "# BENCHMARKS — training-step throughput (windows/sec/chip)\n\n"
+        f"Measured on 1x TPU v5e chip (platform `{platform}`; jitted train\n"
+        "step incl. fwd+bwd+Adam; device-side 30-step scan; B=64, L=48,\n"
+        "Lp=24, C=8; random weights). MFU = XLA-cost-model FLOPs/step x\n"
+        "steps/s over the 197 TFLOP/s v5e nominal peak (indicative only —\n"
+        "see the tunnel-measurement note in docs/ARCHITECTURE.md) — these\n"
+        "workloads are small and latency/VPU-bound by design (reference\n"
+        "batch shapes). The torch reference on a CPU core runs the\n"
+        "PatchTST+fusion combo at ~22-25 windows/s (bench.py vs_baseline).\n\n"
+        "| Config | windows/s/chip | MFU | GFLOP/step | wall (incl. compile) s |\n"
+        "|---|---|---|---|---|\n"
+    )
+    table = "".join(
+        f"| {name} | {w} | {u} | {g} | {secs} |\n" for name, w, u, g, secs in rows
+    )
+    # splice: replace everything up to the first non-table '## ' section,
+    # preserving hand-maintained sections (scaling, serving, zoo sweep, ...)
+    path = "/root/repo/BENCHMARKS.md"
+    tail = ""
+    try:
+        old = open(path).read()
+        i = old.find("\n## ")
+        if i >= 0:
+            tail = old[i:]
+    except FileNotFoundError:
+        pass
+    with open(path, "w") as f:
+        f.write(header + table + tail)
     with open("/root/repo/BENCH_models.json", "w") as f:
         json.dump({r[0]: {"windows_per_sec": r[1], "mfu": r[2], "gflop_per_step": r[3]}
                    for r in rows}, f, indent=1)
