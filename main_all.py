@@ -163,9 +163,9 @@ def main(argv=None):
                     os.environ.pop(k, None)
                 else:
                     os.environ[k] = v
-        with pool as ex:
+        try:
             futures = {
-                ex.submit(
+                pool.submit(
                     run_combination, c, args.batch_size, args.llm_model_fusion,
                     bool(args.use_text_embeddings), args.data_root, args.epoch,
                     results_dir,
@@ -175,6 +175,18 @@ def main(argv=None):
             for fut, c in futures.items():
                 status, dt = fut.result()
                 run_times.append((" | ".join(map(str, c)), dt))
+        finally:
+            # workers can hang at interpreter exit (accelerator-runtime
+            # atexit teardown), leaking ~0.5GB each past shutdown(wait=True)
+            # — give them a grace period, then terminate stragglers
+            procs = list((getattr(pool, "_processes", None) or {}).values())
+            pool.shutdown(wait=False, cancel_futures=True)
+            deadline = time.time() + 30
+            for p in procs:
+                p.join(timeout=max(0.1, deadline - time.time()))
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
     else:
         for idx, c in enumerate(combinations):
             print(f"[{idx + 1}/{len(combinations)}] {c}")
