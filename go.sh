@@ -1,3 +1,3 @@
 #!/bin/bash
-# reference go.sh equivalent: single run with preset overlays
-python main.py --overwrite_args "$@"
+# reference go.sh equivalent: single run with preset overlays on chip $1
+python main.py --overwrite_args --gpu "${1:-0}" "${@:2}"

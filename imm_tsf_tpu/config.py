@@ -25,6 +25,9 @@ from typing import Any
 class Config:
     # --- general (main.py:47-66) ---
     overwrite_args: bool = False
+    # reference --gpu N selects the CUDA device (main.py:62,752); here it
+    # selects the Nth visible accelerator chip (go.sh passes it through)
+    gpu: int = 0
     state: str = "def"  # "def" | "debug"
     seed: int = 1
     dataset: str = "FNSPID"

@@ -261,6 +261,15 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
         fusion = FusionModel(cfg)
 
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    if cfg.gpu and mesh is None:
+        # reference --gpu N = CUDA device selection (main.py:752); here:
+        # pin single-chip runs to the Nth visible accelerator
+        devs = jax.devices()
+        if cfg.gpu < len(devs):
+            jax.config.update("jax_default_device", devs[cfg.gpu])
+        else:
+            logger.warning("--gpu %d requested but only %d device(s) visible",
+                           cfg.gpu, len(devs))
     # typed key: 'rbg' generates dropout masks with the TPU hardware RNG
     # (threefry mask generation costs ~40% of small-model train steps)
     rng_impl_used = cfg.rng_impl
