@@ -119,14 +119,15 @@ class TimesBlock(nn.Module):
             return branch
 
         # run every candidate branch unconditionally (static shapes, no
-        # control flow), then select the k top-frequency outputs by one-hot
-        # einsum: each selected row is exactly one branch output (0-weights
-        # contribute nothing), and the selection indices carry no gradient —
-        # identical semantics to a lax.switch per frequency, but 4.5x faster
-        # on TPU where conditionals serialize and spill to HBM
+        # control flow), then gather the k top-frequency outputs — an exact
+        # selection (a one-hot einsum would bf16-round every element at
+        # default TPU matmul precision), with no gradient through the
+        # indices — identical semantics to a lax.switch per frequency, but
+        # 4.5x faster on TPU where conditionals serialize and spill to HBM
         outs = jnp.stack([make_branch(p)(x) for p in cand])  # [n_cand, B, T, N]
-        onehot = jax.nn.one_hot(lookup[top_list], len(cand), dtype=x.dtype)
-        res = jnp.einsum("kc,cbtn->btnk", onehot, outs)  # [B, T, N, k]
+        res = jnp.moveaxis(
+            jnp.take(outs, lookup[top_list], axis=0), 0, -1
+        )  # [B, T, N, k]
 
         pw = nn.softmax(period_weight, axis=1)  # [B, k]
         res = (res * pw[:, None, None, :]).sum(axis=-1)

@@ -102,11 +102,14 @@ def try_build_resident(loader, max_bytes: int = 4 << 30):
     for k in keys:
         parts = [s[k] for s in stacks]
         # merge variable trailing buckets (patch path Lp) by zero-padding
-        # to the max — zero IS that path's pad value
+        # to the max — zero IS that path's pad value. Axis 0 is the batch
+        # axis being concatenated (the remainder probe batch is SHORTER by
+        # design) and must never be padded
         tgt = tuple(max(p.shape[d] for p in parts) for d in range(parts[0].ndim))
         parts = [
-            np.pad(p, [(0, t - s) for s, t in zip(p.shape, tgt)])
-            if p.shape != tgt[: p.ndim] else p
+            np.pad(p, [(0, 0)] + [(0, t - s) for s, t in
+                                  zip(p.shape[1:], tgt[1:])])
+            if p.shape[1:] != tgt[1:] else p
             for p in parts
         ]
         arr = np.concatenate(parts, axis=0)

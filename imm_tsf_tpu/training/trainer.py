@@ -241,6 +241,19 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
         data_obj = parse_datasets(cfg, verbose=False)
     cfg = data_obj["cfg"]
 
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+    if cfg.gpu and mesh is None:
+        # reference --gpu N = CUDA device selection (main.py:752); here:
+        # pin single-chip runs to the Nth visible accelerator. Must happen
+        # BEFORE any jax allocation in this run (notably load_llm below —
+        # jitted compute follows its params' committed placement)
+        devs = jax.devices()
+        if cfg.gpu < len(devs):
+            jax.config.update("jax_default_device", devs[cfg.gpu])
+        else:
+            logger.warning("--gpu %d requested but only %d device(s) visible",
+                           cfg.gpu, len(devs))
+
     if cfg.enable_text and not cfg.use_text_embeddings:
         from ..llm.loader import load_llm
 
@@ -260,16 +273,6 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
 
         fusion = FusionModel(cfg)
 
-    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
-    if cfg.gpu and mesh is None:
-        # reference --gpu N = CUDA device selection (main.py:752); here:
-        # pin single-chip runs to the Nth visible accelerator
-        devs = jax.devices()
-        if cfg.gpu < len(devs):
-            jax.config.update("jax_default_device", devs[cfg.gpu])
-        else:
-            logger.warning("--gpu %d requested but only %d device(s) visible",
-                           cfg.gpu, len(devs))
     # typed key: 'rbg' generates dropout masks with the TPU hardware RNG
     # (threefry mask generation costs ~40% of small-model train steps)
     rng_impl_used = cfg.rng_impl
@@ -421,130 +424,157 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
     if cfg.debug_nans:
         jax.config.update("jax_debug_nans", True)
 
-    for itr in range(start_epoch, cfg.epoch):
-        st = time.time()
-        last_loss = np.nan
-        # profile the first post-compile epoch (epoch 0 is dominated by
-        # XLA compilation; SURVEY.md §5.1 mandates jax.profiler traces)
-        profiling = cfg.profile_dir is not None and itr == start_epoch + 1
-        if profiling:
-            jax.profiler.start_trace(cfg.profile_dir)
-        if epoch_mode is not None:
-            if epoch_mode == "resident":
-                perm = DL.epoch_perm(bit_train, rows_train, n_rows_train)
-                params, stats, opt_state, rng, losses = run_train_epoch(
-                    params, stats, opt_state, rng, res_train, perm
-                )
-            else:
-                stacked = DL.stage_epoch(train_loader)
-                if stacked is None:
-                    raise RuntimeError("epoch staging failed mid-run")
-                params, stats, opt_state, rng, losses = run_train_staged(
-                    params, stats, opt_state, rng, stacked
-                )
-            losses = np.asarray(losses)
-            if np.isnan(losses).any():
-                step = int(np.argmax(np.isnan(losses)))
-                raise FloatingPointError(
-                    f"NaN loss at epoch {itr} step {step} "
-                    f"(model={cfg.model}, dataset={cfg.dataset})"
-                )
-            last_loss = float(losses[-1])
-        else:
-            for step, batch in enumerate(train_loader):
-                rng, step_rng = jax.random.split(rng)
-                dev = shard_batch(batch, mesh)
-                try:
-                    params, stats, opt_state, loss = train_step(
-                        params, stats, opt_state, dev, step_rng
-                    )
-                    last_loss = float(loss)
-                except Exception as e:  # OOM batch-skip (reference main.py:1107-1110)
-                    if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
-                        # train_step donates (params, stats, opt_state); an OOM
-                        # mid-execution may have consumed those buffers, in which
-                        # case skipping would crash later with 'Array deleted' —
-                        # only skip when the donated state survived (ADVICE r1)
-                        def _alive(tree):
-                            return all(
-                                not (hasattr(leaf, "is_deleted") and leaf.is_deleted())
-                                for leaf in jax.tree_util.tree_leaves(tree)
-                            )
+    # profile the first post-compile epoch (epoch 0 is dominated by XLA
+    # compilation) — or epoch 0 itself for 1-epoch runs, compile included
+    profile_epoch = None
+    if cfg.profile_dir is not None:
+        profile_epoch = (start_epoch + 1 if cfg.epoch - start_epoch > 1
+                         else start_epoch)
+    trace_open = False
 
-                        if _alive(params) and _alive(stats) and _alive(opt_state):
-                            logger.warning("[OOM] step %d: skipping batch", step)
-                            continue
+    try:
+        for itr in range(start_epoch, cfg.epoch):
+            st = time.time()
+            last_loss = np.nan
+            profiling = itr == profile_epoch
+            if profiling:
+                jax.profiler.start_trace(cfg.profile_dir)
+                trace_open = True
+            if epoch_mode is not None:
+                try:
+                    if epoch_mode == "resident":
+                        perm = DL.epoch_perm(bit_train, rows_train, n_rows_train)
+                        params, stats, opt_state, rng, losses = run_train_epoch(
+                            params, stats, opt_state, rng, res_train, perm
+                        )
+                    else:
+                        stacked = DL.stage_epoch(train_loader)
+                        if stacked is None:
+                            raise RuntimeError("epoch staging failed mid-run")
+                        params, stats, opt_state, rng, losses = run_train_staged(
+                            params, stats, opt_state, rng, stacked
+                        )
+                except Exception as e:
+                    # the device-resident path cannot skip single batches
+                    # like the streaming loop's reference-parity OOM skip
+                    # (main.py:1107-1110) — point the user at the fallback
+                    if ("RESOURCE_EXHAUSTED" in str(e)
+                            or "out of memory" in str(e).lower()):
                         raise RuntimeError(
-                            f"OOM at epoch {itr} step {step} invalidated donated "
-                            "training state; cannot skip this batch — reduce "
-                            "batch_size or model size"
+                            "OOM inside the device-resident epoch loop "
+                            "(whole-epoch allocation). Rerun with "
+                            "--device_loop false for per-batch streaming "
+                            "with OOM batch-skip, or reduce batch_size / "
+                            "device_loop_max_mb"
                         ) from e
                     raise
-                if np.isnan(last_loss):
+                losses = np.asarray(losses)
+                if np.isnan(losses).any():
+                    step = int(np.argmax(np.isnan(losses)))
                     raise FloatingPointError(
                         f"NaN loss at epoch {itr} step {step} "
                         f"(model={cfg.model}, dataset={cfg.dataset})"
                     )
-                if log_every and step % log_every == 0:
-                    logger.info("epoch %d step %d loss %.5f", itr, step, last_loss)
+                last_loss = float(losses[-1])
+            else:
+                for step, batch in enumerate(train_loader):
+                    rng, step_rng = jax.random.split(rng)
+                    dev = shard_batch(batch, mesh)
+                    try:
+                        params, stats, opt_state, loss = train_step(
+                            params, stats, opt_state, dev, step_rng
+                        )
+                        last_loss = float(loss)
+                    except Exception as e:  # OOM batch-skip (reference main.py:1107-1110)
+                        if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                            # train_step donates (params, stats, opt_state); an OOM
+                            # mid-execution may have consumed those buffers, in which
+                            # case skipping would crash later with 'Array deleted' —
+                            # only skip when the donated state survived (ADVICE r1)
+                            def _alive(tree):
+                                return all(
+                                    not (hasattr(leaf, "is_deleted") and leaf.is_deleted())
+                                    for leaf in jax.tree_util.tree_leaves(tree)
+                                )
 
-        val_res = _eval(params, stats, "val")
-        if profiling:
-            jax.block_until_ready(params)
-            jax.profiler.stop_trace()
-            logger.info("profiler trace (train+val epoch %d) -> %s "
-                        "(rank ops with tools/trace_top_ops.py)",
-                        itr, cfg.profile_dir)
-        improvement = best_val_mse - val_res["mse"]
-        if improvement > cfg.early_stop_delta:
-            best_val_mse = val_res["mse"]
-            best_iter = itr
-            no_improve = 0
-            if data_obj["test_dataloader"] is not None:
-                test_res = _eval(params, stats, "test")
-        else:
-            no_improve += 1
+                            if _alive(params) and _alive(stats) and _alive(opt_state):
+                                logger.warning("[OOM] step %d: skipping batch", step)
+                                continue
+                            raise RuntimeError(
+                                f"OOM at epoch {itr} step {step} invalidated donated "
+                                "training state; cannot skip this batch — reduce "
+                                "batch_size or model size"
+                            ) from e
+                        raise
+                    if np.isnan(last_loss):
+                        raise FloatingPointError(
+                            f"NaN loss at epoch {itr} step {step} "
+                            f"(model={cfg.model}, dataset={cfg.dataset})"
+                        )
+                    if log_every and step % log_every == 0:
+                        logger.info("epoch %d step %d loss %.5f", itr, step, last_loss)
 
-        epoch_secs = time.time() - st
-        n_windows = len(data_obj["train_dataloader"]) * cfg.batch_size
-        history.append(
-            dict(epoch=itr, train_loss=last_loss, val=val_res, secs=epoch_secs,
-                 windows_per_sec=n_windows / max(epoch_secs, 1e-9))
-        )
+            val_res = _eval(params, stats, "val")
+            if profiling:
+                jax.block_until_ready(params)
+                jax.profiler.stop_trace()
+                trace_open = False
+                logger.info("profiler trace (train+val epoch %d) -> %s "
+                            "(rank ops with tools/trace_top_ops.py)",
+                            itr, cfg.profile_dir)
+            improvement = best_val_mse - val_res["mse"]
+            if improvement > cfg.early_stop_delta:
+                best_val_mse = val_res["mse"]
+                best_iter = itr
+                no_improve = 0
+                if data_obj["test_dataloader"] is not None:
+                    test_res = _eval(params, stats, "test")
+            else:
+                no_improve += 1
 
-        if checkpoint_dir is not None:
-            from .checkpoint import save_checkpoint, save_train_state
-
-            shuffler = _find_shuffler(data_obj["train_dataloader"])
-            meta = dict(
-                epoch=itr, best_val_mse=float(best_val_mse), best_iter=best_iter,
-                no_improve=no_improve, test_res=test_res, history=history,
-                rng=np.asarray(jax.random.key_data(rng)).tolist(),
-                rng_impl=rng_impl_used,  # the key's ACTUAL impl, not cfg's
-                data_rng_state=(shuffler._rng.bit_generator.state
-                                if shuffler is not None else None),
+            epoch_secs = time.time() - st
+            n_windows = len(data_obj["train_dataloader"]) * cfg.batch_size
+            history.append(
+                dict(epoch=itr, train_loss=last_loss, val=val_res, secs=epoch_secs,
+                     windows_per_sec=n_windows / max(epoch_secs, 1e-9))
             )
-            save_train_state(checkpoint_dir, params, stats, opt_state, meta, itr)
-            if best_iter == itr:
-                # best-epoch WEIGHTS kept separately: the rolling train-state
-                # checkpoints (max_to_keep=2) would otherwise discard the
-                # model whose metrics are reported once training overfits
-                save_checkpoint(os.path.join(checkpoint_dir, "best"),
-                                params, stats, itr)
-        logger.info(
-            "- Epoch %03d | train loss %.5f | val mse %.5f mae %.5f | %.2fs"
-            " | %.0f windows/s",
-            itr, last_loss, val_res["mse"], val_res["mae"], epoch_secs,
-            n_windows / max(epoch_secs, 1e-9),
-        )
-        if test_res is not None and best_iter == itr:
+
+            if checkpoint_dir is not None:
+                from .checkpoint import save_checkpoint, save_train_state
+
+                shuffler = _find_shuffler(data_obj["train_dataloader"])
+                meta = dict(
+                    epoch=itr, best_val_mse=float(best_val_mse), best_iter=best_iter,
+                    no_improve=no_improve, test_res=test_res, history=history,
+                    rng=np.asarray(jax.random.key_data(rng)).tolist(),
+                    rng_impl=rng_impl_used,  # the key's ACTUAL impl, not cfg's
+                    data_rng_state=(shuffler._rng.bit_generator.state
+                                    if shuffler is not None else None),
+                )
+                save_train_state(checkpoint_dir, params, stats, opt_state, meta, itr)
+                if best_iter == itr:
+                    # best-epoch WEIGHTS kept separately: the rolling train-state
+                    # checkpoints (max_to_keep=2) would otherwise discard the
+                    # model whose metrics are reported once training overfits
+                    save_checkpoint(os.path.join(checkpoint_dir, "best"),
+                                    params, stats, itr)
             logger.info(
-                "Test - best epoch %d, mse %.5f, mae %.5f",
-                best_iter, test_res["mse"], test_res["mae"],
+                "- Epoch %03d | train loss %.5f | val mse %.5f mae %.5f | %.2fs"
+                " | %.0f windows/s",
+                itr, last_loss, val_res["mse"], val_res["mae"], epoch_secs,
+                n_windows / max(epoch_secs, 1e-9),
             )
-        if no_improve >= cfg.patience:
-            logger.info("Exp has been early stopped!")
-            break
+            if test_res is not None and best_iter == itr:
+                logger.info(
+                    "Test - best epoch %d, mse %.5f, mae %.5f",
+                    best_iter, test_res["mse"], test_res["mae"],
+                )
+            if no_improve >= cfg.patience:
+                logger.info("Exp has been early stopped!")
+                break
+    finally:
+        if trace_open:  # exception mid-profiled-epoch: close the trace
+            jax.profiler.stop_trace()
 
     assert test_res is not None, "No test results available."
     test_res = dict(test_res)

@@ -70,6 +70,17 @@ def main(argv=None):
     loader = data_obj[f"{pre_args.split}_dataloader"]
     if loader is None:
         raise SystemExit(f"split {pre_args.split!r} is empty for this dataset")
+    if cfg.enable_text and not cfg.use_text_embeddings:
+        # raw-text fusion: embed notes on the fly, exactly as trainable()
+        # wraps its loaders (training/trainer.py _EmbedNotesLoader)
+        from imm_tsf_tpu.llm.loader import load_llm
+        from imm_tsf_tpu.training.trainer import _EmbedNotesLoader
+
+        llm, llm_params, tokenizer = load_llm(
+            cfg.llm_model_fusion, cfg.llm_layers_fusion
+        )
+        loader = _EmbedNotesLoader(loader, llm, llm_params, tokenizer,
+                                   cfg.max_length)
 
     model = get_model(cfg)
     fusion = FusionModel(cfg) if cfg.enable_text else None
@@ -141,6 +152,12 @@ def main(argv=None):
         preds, targets, masks, tps = [], [], [], []
         acc = None
         n_windows = 0
+        # warm compile on the first batch so windows_per_sec measures
+        # inference, not XLA compilation (consistent with the resident path)
+        first = next(iter(loader), None)
+        if first is not None:
+            _p, _s = predict_step(params, stats, shard_batch(first, mesh))
+            np.asarray(_p)
         t0 = time.perf_counter()
         for batch in loader:
             n_real = batch.get("n_real", batch["observed_data"].shape[0])

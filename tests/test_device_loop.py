@@ -114,3 +114,20 @@ def test_raw_text_fusion_device_loop(synth_root):
     b = _run(synth_root, "DLinear", False, extra)
     for k in ("mse", "mae"):
         np.testing.assert_allclose(a[k], b[k], rtol=2e-4, err_msg=k)
+
+
+def test_resident_build_remainder_batch(synth_root):
+    """n % batch_size != 0: the shorter probe remainder batch must NOT be
+    padded on the batch axis (resident contract is exactly n + 1 rows)."""
+    from imm_tsf_tpu.training.device_loop import try_build_resident
+    from imm_tsf_tpu.training.trainer import _find_shuffler
+
+    cfg = Config(dataset="EPA-Air", data_root=synth_root, model="DLinear",
+                 batch_size=5, seed=0)
+    data_obj = parse_datasets(cfg, verbose=False)
+    bit = _find_shuffler(data_obj["train_dataloader"])
+    n = len(bit.indices)
+    assert n % 5 != 0, "fixture must exercise a remainder batch"
+    res, _ = try_build_resident(data_obj["train_dataloader"])
+    for k, v in res.items():
+        assert v.shape[0] == n + 1, (k, v.shape, n)

@@ -203,3 +203,20 @@ def test_dataset_preset_time_units_e2e(tmp_path, ds, gen_kw):
     assert cfg.time_unit == ("weeks" if ds == "ILINet" else "hours")
     res = trainable(cfg)
     assert np.isfinite(res["mse"])
+
+
+def test_predict_raw_text_fusion(synth_root, tmp_path):
+    """predict.py must wrap loaders in _EmbedNotesLoader for raw-text
+    fusion experiments (enable_text without precomputed embeddings)."""
+    import main as main_mod
+    import predict as predict_mod
+
+    save = str(tmp_path / "ck")
+    flags = ["--dataset", "EPA-Air", "--data_root", synth_root,
+             "--model", "DLinear", "--batch_size", "8", "--save", save,
+             "--enable_text", "--use_text_embeddings", "false",
+             "--llm_layers_fusion", "1"]
+    res = main_mod.main(flags + ["--epoch", "1", "--patience", "1"])
+    exp = os.listdir(save)[0].split("experiment_")[1]
+    out = predict_mod.main(["--load", exp] + flags)
+    assert abs(out["test_mse"] - res["mse"]) < 1e-9
