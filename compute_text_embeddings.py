@@ -30,13 +30,21 @@ def compute_text_embeddings(
     model_dir: str | None = None,
     overwrite: bool = False,
     token_batch: int = 64,
+    llm_tp: int = 0,
 ):
     from imm_tsf_tpu.data.dataset import embeddings_filename
-    from imm_tsf_tpu.llm.loader import load_llm
+    from imm_tsf_tpu.llm.loader import load_llm, resolve_llm_mesh
 
     model, params, tokenizer = load_llm(
         llm_model_fusion, llm_layers_fusion, model_dir=model_dir
     )
+    # tensor-parallel mesh for the frozen LLM (TPU analog of the reference's
+    # device_map="auto", compute_text_embeddings.py:31-37): llm_tp=0 auto-
+    # shards Llama/DeepSeek over every visible chip — an 8B-param model
+    # does not fit one v5e core (reference README.md:132 mandates >=24GB)
+    mesh = resolve_llm_mesh(llm_model_fusion, llm_tp)
+    if mesh is not None:
+        print(f"[mesh] frozen LLM sharded over {dict(mesh.shape)}")
     from imm_tsf_tpu.llm.loader import embed_notes
 
     proc = os.path.join(data_root, data_name, "processed")
@@ -73,7 +81,7 @@ def compute_text_embeddings(
         te = time.perf_counter()
         emb, _ = embed_notes([notes], model, params, tokenizer,
                              max_length=max_length, token_batch=token_batch,
-                             stats_out=stats)
+                             stats_out=stats, mesh=mesh)
         te = time.perf_counter() - te
         n_calls += 1
         if n_calls > 1:  # first call pays the bucket-shape compiles
@@ -110,9 +118,13 @@ if __name__ == "__main__":
     ap.add_argument("--data_root", default="./data")
     ap.add_argument("--model_dir", default=None)
     ap.add_argument("--overwrite", action="store_true")
+    ap.add_argument("--llm_tp", type=int, default=0,
+                    help="tensor-parallel width for the frozen LLM "
+                         "(0=auto: all chips for Llama/DeepSeek)")
     args = ap.parse_args()
     for ds in args.datasets:
         compute_text_embeddings(
             ds, args.llm_model_fusion, args.llm_layers_fusion, args.max_length,
             args.data_root, args.model_dir, args.overwrite,
+            llm_tp=args.llm_tp,
         )

@@ -186,6 +186,12 @@ class Config:
     recency_sigma: float = 1.0
     n_heads_fusion: int = 1
     kappa: float = 0.5
+    # tensor-parallel width for the frozen fusion LLM: weights sharded over
+    # a ('data','model') mesh per their partition specs (TPU analog of the
+    # reference's device_map="auto", fusions/load_llm.py:102-107; mandatory
+    # for Llama/DeepSeek-scale models that don't fit one chip). 1 = single
+    # chip; 0 = auto (all visible devices on 'model' for Llama/DeepSeek)
+    llm_tp: int = 1
 
     # --- training (main.py:678-729) ---
     epoch: int = 1000

@@ -11,7 +11,8 @@ TPU redesign of the data-dependent reshape (SURVEY.md §7 hard part 4):
 reference. Here the achievable periods {T // f : f in 1..T//2} form a
 small static set (~2*sqrt(T) values); EVERY candidate gets a static-shape
 branch, all branches run unconditionally in parallel, and the k selected
-periods are picked with a one-hot einsum over the stacked branch outputs.
+periods are picked with an exact jnp.take gather over the stacked
+branch outputs (a one-hot einsum would bf16-round every element).
 Control flow (`lax.switch`) was measured 4.5x slower than computing all
 ~16 candidates: TPU conditionals serialize, break fusion, and force HBM
 materialization per branch, while the branch convs themselves are tiny

@@ -193,39 +193,47 @@ def _device_epoch_dp(n_devices: int) -> None:
 
 
 def _llama_tensor_parallel(n_devices: int) -> None:
-    """Tensor-sharded frozen-LLM forward over a ('data','model') mesh —
-    the §2.8(b) obligation (Llama-3.1-8B doesn't fit one v5e core; its
-    weights carry 'model'-axis partition specs)."""
+    """Tensor-sharded frozen-LLM note embedding through the PRODUCTION
+    embed_notes path over a ('data','model') mesh — the §2.8(b) obligation
+    (Llama-3.1-8B doesn't fit one v5e core; its weights carry 'model'-axis
+    partition specs; reference analog: device_map="auto",
+    fusions/load_llm.py:102-107)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import PartitionSpec as P
 
     from ..llm.llama import LlamaConfig, LlamaModel
-    from .mesh import make_mesh
+    from ..llm.loader import (
+        HashTokenizer, embed_notes, make_llm_mesh, shard_llm_params,
+    )
 
-    dp = max(1, n_devices // 4)
-    tp = n_devices // dp
-    mesh = make_mesh((dp, tp), ("data", "model"))
+    tp = 4
+    dp = n_devices // tp
+    mesh = make_llm_mesh(tp=tp, n_devices=n_devices)
     cfg = LlamaConfig(vocab_size=256, hidden_size=64, intermediate_size=128,
                       num_hidden_layers=2, num_attention_heads=4,
                       num_key_value_heads=4)
     model = LlamaModel(cfg)
-    ids = jnp.zeros((2 * dp, 16), jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), ids)
-
-    def to_sharded(x):
-        if hasattr(x, "names"):
-            return jax.device_put(x.unbox(), NamedSharding(mesh, P(*x.names)))
-        return jax.device_put(x, NamedSharding(mesh, P()))
-
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
     params = jax.tree_util.tree_map(
-        to_sharded, variables["params"], is_leaf=lambda x: hasattr(x, "names")
+        lambda x: np.asarray(x.unbox()) if hasattr(x, "unbox") else np.asarray(x),
+        variables["params"], is_leaf=lambda x: hasattr(x, "unbox"),
     )
-    ids = jax.device_put(ids, NamedSharding(mesh, P("data")))
-    out = jax.jit(lambda p, i: model.apply({"params": p}, i))(params, ids)
-    assert np.isfinite(np.asarray(out)).all()
-    print(f"  dryrun[Llama-TP]({dp}x{tp} mesh): hidden={out.shape} OK", flush=True)
+    # the kernels must be genuinely split, not replicated
+    k = shard_llm_params(model, params, mesh)["layer_0"]["gate_proj"]["kernel"]
+    assert k.sharding.spec == P(None, "model"), k.sharding.spec
+    assert all(s.data.shape[1] == 128 // tp for s in k.addressable_shards)
+
+    notes = [["alpha beta", "gamma"], [], ["delta epsilon zeta eta"]]
+    emb, mask = embed_notes(notes, model, params, HashTokenizer(256),
+                            max_length=32, mesh=mesh)
+    ref, _ = embed_notes(notes, model, params, HashTokenizer(256),
+                         max_length=32)
+    assert np.isfinite(emb).all() and mask.sum() == 3
+    np.testing.assert_allclose(emb, ref, rtol=2e-5, atol=2e-6)
+    print(f"  dryrun[Llama-TP-embed]({dp}x{tp} mesh): emb={emb.shape} OK",
+          flush=True)
 
 
 def run(n_devices: int) -> None:

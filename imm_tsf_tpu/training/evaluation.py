@@ -85,6 +85,15 @@ def finalize_metrics(acc: dict) -> dict:
     cnt_mape = np.asarray(acc["cnt_mape"], np.float64)
     n_avai = np.count_nonzero(cnt)
     n_avai_mape = np.count_nonzero(cnt_mape)
+    if n_avai == 0:
+        # the reference would divide 0/0 here (lib/evaluation.py:275 shares
+        # the flaw); our static-shape pipeline creates all-zero-mask PAD
+        # batches by design, so fail loudly instead of returning NaN
+        raise ValueError(
+            "finalize_metrics: zero observed variables across the whole "
+            "split — every prediction-window mask was empty (all-pad eval "
+            "shard or broken mask plumbing)"
+        )
     mse = float((se / (cnt + 1e-8)).sum() / n_avai)
     mae = float((ae / (cnt + 1e-8)).sum() / n_avai)
     mape = float((ape / (cnt_mape + 1e-8)).sum() / max(n_avai_mape, 1))

@@ -204,10 +204,12 @@ class _EmbedNotesLoader:
     fusions/TTF_RecAvg.py:70-73; here it is a host-side batch preprocessing
     stage so the fused train step stays jittable)."""
 
-    def __init__(self, base, llm, llm_params, tokenizer, max_length):
+    def __init__(self, base, llm, llm_params, tokenizer, max_length,
+                 llm_mesh=None):
         self.base = base
         self.llm, self.llm_params = llm, llm_params
         self.tokenizer, self.max_length = tokenizer, max_length
+        self.llm_mesh = llm_mesh
 
     def __len__(self):
         return len(self.base)
@@ -218,7 +220,7 @@ class _EmbedNotesLoader:
         for batch in self.base:
             emb, note_mask = embed_notes(
                 batch["notes_text"], self.llm, self.llm_params, self.tokenizer,
-                max_length=self.max_length,
+                max_length=self.max_length, mesh=self.llm_mesh,
             )
             N = batch["tau"].shape[1]
             if emb.shape[1] < N:  # pad note axis to the static ceiling
@@ -255,15 +257,17 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                            cfg.gpu, len(devs))
 
     if cfg.enable_text and not cfg.use_text_embeddings:
-        from ..llm.loader import load_llm
+        from ..llm.loader import load_llm, resolve_llm_mesh
 
         llm, llm_params, tokenizer = load_llm(
             cfg.llm_model_fusion, cfg.llm_layers_fusion
         )
+        llm_mesh = resolve_llm_mesh(cfg.llm_model_fusion, cfg.llm_tp)
         for split in ("train_dataloader", "val_dataloader", "test_dataloader"):
             if data_obj[split] is not None:
                 data_obj[split] = _EmbedNotesLoader(
-                    data_obj[split], llm, llm_params, tokenizer, cfg.max_length
+                    data_obj[split], llm, llm_params, tokenizer, cfg.max_length,
+                    llm_mesh=llm_mesh,
                 )
 
     model = get_model(cfg)

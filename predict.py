@@ -55,6 +55,17 @@ def main(argv=None):
     except Exception:
         pass
 
+    if cfg.gpu and not cfg.mesh_shape:
+        # same single-chip device pin as trainable() (reference --gpu N =
+        # CUDA device selection, main.py:752) — must precede ANY jax
+        # allocation (the LLM load and init_state below)
+        devs = jax.devices()
+        if cfg.gpu < len(devs):
+            jax.config.update("jax_default_device", devs[cfg.gpu])
+        else:
+            print(f"# --gpu {cfg.gpu} requested but only {len(devs)} "
+                  f"device(s) visible", file=sys.stderr)
+
     from imm_tsf_tpu.data.loader import parse_datasets
     from imm_tsf_tpu.fusion.fusion_model import FusionModel
     from imm_tsf_tpu.models import get_model
@@ -133,7 +144,9 @@ def main(argv=None):
         p2, _ = run_predict(params, stats, res_dev, perm_r)
         p2 = np.asarray(p2)
         dt = time.perf_counter() - t0
-        assert np.isfinite(p2).all()
+        # finiteness contract covers only the n REAL windows — all-zero-mask
+        # pad rows may legitimately produce anything (metrics mask them out)
+        assert np.isfinite(p2.reshape((-1,) + p2.shape[2:])[:n]).all()
         pred_flat = np.asarray(p).reshape((-1,) + p.shape[2:])[:n]
         acc = DL.reduce_eval_sums(jax.device_get(sum_stack))
         preds = [pred_flat]
@@ -178,6 +191,12 @@ def main(argv=None):
                     acc[k] += np.asarray(sums[k], np.float64)
             n_windows += n_real
         dt = time.perf_counter() - t0
+        if acc is None:
+            raise SystemExit(
+                f"split {pre_args.split!r} yielded no batches — the split is "
+                f"empty for this dataset/window config (same guard as "
+                f"training's run_evaluation)"
+            )
 
     metrics = finalize_metrics(acc)
     out = {f"{pre_args.split}_{k}": float(v)
