@@ -20,10 +20,21 @@ from .attention import masked_softmax
 
 
 class ProbAttention(nn.Module):
+    """ref_layout: the reference returns the context as [B, H, L, D]
+    WITHOUT transposing back (SelfAttention_Family.py:177 `return
+    context.contiguous()`), and AttentionLayer then `.view(B, L, -1)`s
+    that H-major memory (:201) — scrambling (head, position) pairs into
+    the time axis. This is an upstream bug (TSLib transposes first), but
+    it is what the reference trains and evaluates with, so it is the
+    parity spec; ref_layout=True (default) reproduces it exactly via a
+    memory-order reshape. Set False for the 'correct' per-position
+    layout."""
+
     mask_flag: bool = True
     factor: int = 5
     scale: float | None = None
     attention_dropout: float = 0.1
+    ref_layout: bool = True
 
     @nn.compact
     def __call__(self, queries, keys, values, attn_mask=None, train: bool = False):
@@ -75,4 +86,8 @@ class ProbAttention(nn.Module):
         b_idx = jnp.arange(B)[:, None, None]
         h_idx = jnp.arange(H)[None, :, None]
         context = context.at[b_idx, h_idx, M_top].set(update)
+        if self.ref_layout:
+            # reinterpret the [B, H, L, D] memory as [B, L, H, D] row-major
+            # == torch `view(B, L, H*D)` on the untransposed tensor
+            return context.reshape(B, L_Q, H, D)
         return context.transpose(0, 2, 1, 3)  # back to [B, L, H, D]
