@@ -100,6 +100,11 @@ class Config:
     output_token_len: int = 96
     llm_model_timellm: str = "GPT2"
     llm_layers_timellm: int = 6
+    # reference-exact TimeLLM prompt: per-batch stats rendered to text and
+    # tokenized ON HOST (models/TimeLLM.py:168-195), fed as a static-length
+    # int32 prompt_ids input. False = learned pseudo-token fast path.
+    timellm_exact_prompt: bool = False
+    timellm_prompt_len: int = 128  # static tokenized-prompt length
 
     # --- NeuralFlow (main.py:295-441) ---
     nf_latents: int = 20

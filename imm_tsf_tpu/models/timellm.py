@@ -6,14 +6,21 @@ PatchEmbedding (:239-253), vocab->ts_vocab prototype mapping + cross-attn
 ReprogrammingLayer (:32-61,:256-257), prompt ++ patches through the frozen
 LLM (:260-263), FlattenHead over the first d_ff output dims (:266-270).
 
-TPU redesign of the prompt (the reference renders per-batch stats
-min/max/median/trend/top-lags to TEXT and tokenizes at runtime,
-:168-195 — host round-trips that cannot live under jit):
-  - the constant domain description is tokenized ONCE at model build
-    (static ids embedded through the frozen wte)
-  - the numeric stats are injected as learned pseudo-token embeddings
-    (Dense: stats -> n_stat_tokens x d_llm), preserving the conditioning
-    mechanism fully on-device and differentiably.
+Two prompt modes (cfg.timellm_exact_prompt):
+  - False (fast path, TPU redesign): the constant domain description is
+    tokenized ONCE at model build (static ids embedded through the
+    frozen wte) and the numeric stats are injected as learned
+    pseudo-token embeddings (Dense: stats -> n_stat_tokens x d_llm),
+    preserving the conditioning mechanism fully on-device and
+    differentiably.
+  - True (reference-exact): per-batch stats are rendered to TEXT and
+    tokenized ON HOST (`build_timellm_prompt_ids`, the exact reference
+    mechanism :168-195 incl. torch lower-median semantics), producing a
+    static-length int32 `prompt_ids` batch input embedded through the
+    frozen wte under jit. The host stage runs in the trainer's
+    _TimeLLMPromptLoader wrapper — text round-trips cannot live under
+    jit, so this is the static-shape formulation of the reference's
+    runtime tokenization.
 
 The LLM lives under the `frozen_llm` param subtree, which
 training/optim.py pins to zero updates.
@@ -52,7 +59,7 @@ class TimeLLM(nn.Module):
 
     @nn.compact
     def __call__(self, tp_to_predict, observed_data, observed_tp, observed_mask,
-                 train: bool = False):
+                 train: bool = False, prompt_ids=None):
         cfg = self.cfg
         seq_len, pred_len, N = cfg.input_len, cfg.pred_len, cfg.input_dim
         patch_len = cfg.input_token_len
@@ -69,37 +76,46 @@ class TimeLLM(nn.Module):
 
         x, means, stdev = masked_norm(observed_data, observed_mask)
 
-        # ---- stats (reference :169-181), numeric form ----
-        mins = x.min(axis=1)
-        maxs = x.max(axis=1)
-        meds = jnp.median(x, axis=1)
-        trend = jnp.diff(x, axis=1).sum(axis=1).mean(axis=1, keepdims=True)
-        F = jnp.fft.rfft(x.transpose(0, 2, 1), axis=-1)
-        corr = jnp.fft.irfft(F * jnp.conj(F), n=seq_len, axis=-1).mean(axis=1)
-        _, lags = jax.lax.top_k(corr, min(top_k, seq_len))
-        stats = jnp.concatenate(
-            [mins, maxs, meds, trend, lags.astype(jnp.float32)], axis=-1
-        )  # [B, 3N+1+top_k]
-
-        # ---- prompt: static domain tokens + learned stat pseudo-tokens ----
-        # The prompt ids are a CONSTANT (reference tokenizes a frozen text
-        # prompt, models/TimeLLM.py:163-195). Stored in a non-param
-        # "constants" collection as int32 so the optimizer never sees them
-        # (a float param here would drift under Adam weight decay even with
-        # zero gradient — VERDICT r1 weak #2).
-        domain_ids = self.variable(
-            "constants", "domain_prompt_ids",
-            lambda: _domain_token_ids(cfg, N_PROMPT_TOKENS),
-        ).value
-        # embedded through the frozen wte (kept out of the gradient path)
-        domain_emb = jax.lax.stop_gradient(
-            llm.get_input_embeddings(
-                jnp.broadcast_to(domain_ids[None], (B, N_PROMPT_TOKENS))
+        if prompt_ids is not None:
+            # reference-exact mode: host-built stats->text->token ids
+            # (build_timellm_prompt_ids) embedded through the frozen wte —
+            # exactly models/TimeLLM.py:232-236 under jit
+            prompt_embeds = jax.lax.stop_gradient(
+                llm.get_input_embeddings(prompt_ids)
             )
-        )
-        stat_tokens = nn.Dense(N_STAT_TOKENS * d_llm, kernel_init=_tk, name="stat_prompt")(stats)
-        stat_tokens = stat_tokens.reshape(B, N_STAT_TOKENS, d_llm)
-        prompt_embeds = jnp.concatenate([domain_emb, stat_tokens], axis=1)
+        else:
+            # ---- stats (reference :169-181), numeric form ----
+            mins = x.min(axis=1)
+            maxs = x.max(axis=1)
+            meds = jnp.median(x, axis=1)
+            trend = jnp.diff(x, axis=1).sum(axis=1).mean(axis=1, keepdims=True)
+            F = jnp.fft.rfft(x.transpose(0, 2, 1), axis=-1)
+            corr = jnp.fft.irfft(F * jnp.conj(F), n=seq_len, axis=-1).mean(axis=1)
+            _, lags = jax.lax.top_k(corr, min(top_k, seq_len))
+            stats = jnp.concatenate(
+                [mins, maxs, meds, trend, lags.astype(jnp.float32)], axis=-1
+            )  # [B, 3N+1+top_k]
+
+            # ---- prompt: static domain tokens + learned stat pseudo-tokens
+            # The prompt ids are a CONSTANT (reference tokenizes a frozen
+            # text prompt, models/TimeLLM.py:163-195). Stored in a non-param
+            # "constants" collection as int32 so the optimizer never sees
+            # them (a float param here would drift under Adam weight decay
+            # even with zero gradient — VERDICT r1 weak #2).
+            domain_ids = self.variable(
+                "constants", "domain_prompt_ids",
+                lambda: _domain_token_ids(cfg, N_PROMPT_TOKENS),
+            ).value
+            # embedded through the frozen wte (kept out of the gradient path)
+            domain_emb = jax.lax.stop_gradient(
+                llm.get_input_embeddings(
+                    jnp.broadcast_to(domain_ids[None], (B, N_PROMPT_TOKENS))
+                )
+            )
+            stat_tokens = nn.Dense(N_STAT_TOKENS * d_llm, kernel_init=_tk,
+                                   name="stat_prompt")(stats)
+            stat_tokens = stat_tokens.reshape(B, N_STAT_TOKENS, d_llm)
+            prompt_embeds = jnp.concatenate([domain_emb, stat_tokens], axis=1)
 
         # ---- patch-embed values and timestamps (shared embedder, :239-253) ----
         patch_embedding = PatchEmbedding(
@@ -176,6 +192,77 @@ class ReprogrammingLayer(nn.Module):
         A = nn.Dropout(self.dropout)(A, deterministic=not train)
         out = jnp.einsum("bhls,she->blhe", A, v).reshape(Bm, Lq, -1)
         return nn.Dense(self.d_llm, kernel_init=_tk, name="out_projection")(out)
+
+
+def build_timellm_prompts(cfg: Config, observed_data, observed_tp,
+                          observed_mask) -> list[str]:
+    """Host-side (numpy) replica of the reference prompt text,
+    models/TimeLLM.py:168-195: masked normalization, then per-sample
+    min/max/median/trend/top-lags rendered with the EXACT reference
+    f-string (torch .tolist() and numpy .tolist() print identical Python
+    floats). Median uses torch's lower-median semantics for even lengths
+    (torch.median != numpy median)."""
+    seq_len = cfg.input_len
+    L = observed_data.shape[1]
+    if L < seq_len:  # pad_time analog
+        pad = seq_len - L
+        observed_data = np.pad(observed_data, ((0, 0), (0, pad), (0, 0)))
+        observed_mask = np.pad(observed_mask, ((0, 0), (0, pad), (0, 0)))
+    x = (observed_data * observed_mask).astype(np.float32)
+    sums = np.clip(observed_mask.sum(axis=1, keepdims=True), 1, None)
+    means = x.sum(axis=1, keepdims=True) / sums
+    x = x - means
+    var = ((x * observed_mask) ** 2).sum(axis=1, keepdims=True) / sums
+    x = (x / np.sqrt(var + 1e-5)).astype(np.float32)
+
+    B, Lx, N = x.shape
+    mins = x.min(axis=1)
+    maxs = x.max(axis=1)
+    meds = np.sort(x, axis=1)[:, (Lx - 1) // 2, :]  # torch lower median
+    trend = np.diff(x, axis=1).sum(axis=1).mean(axis=1)
+    F = np.fft.rfft(x.transpose(0, 2, 1), axis=-1)
+    corr = np.fft.irfft(F * np.conj(F), n=Lx, axis=-1).mean(axis=1)
+    top_k = cfg.top_k
+    k = min(top_k, Lx)
+    lags = np.argsort(-corr, axis=-1, kind="stable")[:, :k]
+    if k < top_k:  # reference :177-179 pads with the last lag
+        lags = np.concatenate(
+            [lags, np.repeat(lags[:, -1:], top_k - k, axis=1)], axis=1)
+
+    prompts = []
+    for b in range(B):
+        tr = "upward" if trend[b].item() > 0 else "downward"
+        prompts.append(
+            f"<|start_prompt|>"
+            f"Dataset: {cfg.domain_des}. "
+            f"Forecast next {cfg.pred_len} from past {cfg.input_len}. "
+            f"Min {mins[b].astype(np.float32).tolist()}, "
+            f"Max {maxs[b].astype(np.float32).tolist()}, "
+            f"Median {meds[b].astype(np.float32).tolist()}, "
+            f"Trend {tr}, "
+            f"Top lags {lags[b].tolist()}."
+            f"<|end_prompt|>"
+        )
+    return prompts
+
+
+def build_timellm_prompt_ids(cfg: Config, batch: dict, tokenizer,
+                             pad_to: int | None = None) -> np.ndarray:
+    """prompts -> int32 [B, P] ids via the LLM tokenizer (reference pads
+    to batch max, :233-235); pad_to fixes a static length for jit (ids
+    truncated/padded with the tokenizer's pad id, right side)."""
+    prompts = build_timellm_prompts(
+        cfg, np.asarray(batch["observed_data"]),
+        np.asarray(batch["observed_tp"]), np.asarray(batch["observed_mask"]),
+    )
+    ids, _mask = tokenizer(prompts, max_length=pad_to or 512)
+    ids = np.asarray(ids, np.int32)
+    if pad_to is None:
+        # trim to the batch max real length (reference padding=True)
+        lengths = _mask.sum(axis=1) if _mask is not None else None
+        if lengths is not None and lengths.max() > 0:
+            ids = ids[:, : int(lengths.max())]
+    return ids
 
 
 def _domain_token_ids(cfg: Config, n_tokens: int):

@@ -57,6 +57,12 @@ def _model_inputs(batch: dict):
     )
 
 
+def _model_kwargs(batch: dict) -> dict:
+    """Optional extra model inputs carried in the batch (currently only
+    TimeLLM's exact-prompt ids, built host-side by _TimeLLMPromptLoader)."""
+    return {"prompt_ids": batch["prompt_ids"]} if "prompt_ids" in batch else {}
+
+
 def _split_variables(variables: dict):
     params = variables.get("params", {})
     stats = {k: v for k, v in variables.items() if k != "params"}
@@ -74,7 +80,8 @@ def init_state(cfg: Config, model, fusion, sample_batch: dict, rng):
     }
     rng, k1, k2 = jax.random.split(rng, 3)
     mv = model.init(
-        {"params": k1, "dropout": k1}, *_model_inputs(dev_batch), train=False
+        {"params": k1, "dropout": k1}, *_model_inputs(dev_batch), train=False,
+        **_model_kwargs(dev_batch),
     )
     mp, ms = _split_variables(mv)
     params, stats = {"model": mp}, {"model": ms}
@@ -132,10 +139,12 @@ def make_forward(cfg: Config, model, fusion):
             pred_y, mut = model.apply(
                 mvars, *_model_inputs(batch), train=True, rngs=rngs,
                 mutable=list(stats["model"].keys()),
+                **_model_kwargs(batch),
             )
             new_stats = {**new_stats, "model": mut}
         else:
-            pred_y = model.apply(mvars, *_model_inputs(batch), train=train, rngs=rngs)
+            pred_y = model.apply(mvars, *_model_inputs(batch), train=train,
+                                 rngs=rngs, **_model_kwargs(batch))
         if pred_y.ndim == 4:  # [S, B, T, D] -> mean over traj samples
             pred_y = pred_y.mean(axis=0)
         if fusion is not None:
@@ -265,6 +274,30 @@ class _EmbedNotesLoader:
             yield batch
 
 
+class _TimeLLMPromptLoader:
+    """Adds host-built reference-exact TimeLLM prompt ids to each batch
+    (cfg.timellm_exact_prompt; see models/timellm.py
+    build_timellm_prompt_ids). Static length cfg.timellm_prompt_len keeps
+    the jitted step shape-stable."""
+
+    def __init__(self, base, cfg, tokenizer):
+        self.base, self.cfg, self.tokenizer = base, cfg, tokenizer
+
+    def __len__(self):
+        return len(self.base)
+
+    def __iter__(self):
+        from ..models.timellm import build_timellm_prompt_ids
+
+        for batch in self.base:
+            batch = dict(batch)
+            batch["prompt_ids"] = build_timellm_prompt_ids(
+                self.cfg, batch, self.tokenizer,
+                pad_to=self.cfg.timellm_prompt_len,
+            )
+            yield batch
+
+
 def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
               checkpoint_dir: str | None = None) -> dict:
     """Train one (dataset, model, fusion) combo; returns best-epoch test
@@ -301,6 +334,19 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                     data_obj[split], llm, llm_params, tokenizer, cfg.max_length,
                     llm_mesh=llm_mesh,
                 )
+
+    if cfg.model == "TimeLLM" and cfg.timellm_exact_prompt:
+        # reference-exact prompt mode: host-side stats->text->tokenize per
+        # batch (models/TimeLLM.py:168-195) as a loader stage
+        from ..llm.loader import load_tokenizer
+
+        alias = {"GPT2": "GPT2", "BERT": "BERT", "LLAMA": "Llama"}[
+            cfg.llm_model_timellm]
+        prompt_tok = load_tokenizer(alias)
+        for split in ("train_dataloader", "val_dataloader", "test_dataloader"):
+            if data_obj[split] is not None:
+                data_obj[split] = _TimeLLMPromptLoader(
+                    data_obj[split], cfg, prompt_tok)
 
     model = get_model(cfg)
     fusion = None
