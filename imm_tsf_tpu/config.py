@@ -177,6 +177,11 @@ class Config:
     ode_z0_encoder: str = "odernn"
     ode_obsrv_std: float = 0.01
     ode_n_traj_samples: int = 1
+    # reference eval protocol for LatentODE/NeuralFlow: SAMPLE z0 (n_traj=1)
+    # at eval instead of the posterior mean (fixed key -> deterministic).
+    # Measured shift on the parity fixture: LatentODE 0.08%, NeuralFlow
+    # ~3% MSE (PARITY.md eval-semantics table)
+    eval_sample_traj: bool = False
     # TPU-only: static rk4 substeps per ODE-RNN encoder interval, replacing
     # the reference's data-dependent sub-grid (encoder_decoder.py:287-291)
     ode_substeps: int = 4
@@ -216,6 +221,13 @@ class Config:
     # dropout masks — threefry mask generation measured at 42% of a
     # PatchTST train step; 'threefry2x32' restores jax's default
     rng_impl: str = "rbg"
+    # shuffle-stream seed override (None = cfg.seed). Lets N seed-variant
+    # experiments share one data order so they can train STACKED in one
+    # vmapped program (training/vmap_sweep.py) — the sweep-throughput axis
+    data_seed: int | None = None
+    # train N init/dropout seed replicas per chip in ONE vmapped program
+    # (cfg.seed, cfg.seed+1, ...); main.py prints per-seed results
+    vmap_seeds: int = 1
     mesh_shape: tuple = ()  # e.g. (8,) for 8-way data parallel; () = single chip
     mesh_axis_names: tuple = ("data",)
     # matmul precision: "float32" (TPU default — fp32 operands already run

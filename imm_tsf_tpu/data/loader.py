@@ -253,7 +253,10 @@ def parse_datasets(cfg: Config, verbose: bool = True) -> dict:
 
     return {
         "train_dataloader": BatchIterator(
-            ds.chunks, train_idx, cfg.batch_size, collate_fn, shuffle=True, seed=cfg.seed
+            ds.chunks, train_idx, cfg.batch_size, collate_fn, shuffle=True,
+            # data_seed decouples the shuffle stream from the init/dropout
+            # seed so seed-sweeps can share one data order (vmap_sweep.py)
+            seed=cfg.seed if cfg.data_seed is None else cfg.data_seed,
         ),
         "val_dataloader": BatchIterator(
             ds.chunks, val_idx, cfg.batch_size, collate_fn, shuffle=False

@@ -16,6 +16,9 @@ import pandas as pd
 from .dataset import embeddings_filename
 
 
+_UNIT_TD = {"days": "D", "hours": "h", "weeks": "W"}
+
+
 def make_synthetic_dataset(
     root: str,
     n_entities: int = 4,
@@ -30,12 +33,19 @@ def make_synthetic_dataset(
     llm_layers=6,
     max_length: int = 1024,
     seed: int = 0,
+    time_unit: str = "days",
+    record_id_col: bool = False,
 ) -> str:
-    """Create `root/processed/...`; returns root."""
+    """Create `root/processed/...`; returns root.
+
+    n_days/obs_per_day/notes_per_day are interpreted in `time_unit` units
+    (days/hours/weeks), so one generator covers every reference preset
+    shape (main.py:790-834)."""
     rng = np.random.default_rng(seed)
     proc = os.path.join(root, "processed")
     os.makedirs(proc, exist_ok=True)
     base = pd.Timestamp("2024-01-01")
+    td_unit = _UNIT_TD[time_unit]
 
     for e in range(n_entities):
         ent_dir = os.path.join(proc, f"entity{e:03d}")
@@ -58,22 +68,25 @@ def make_synthetic_dataset(
         # ensure each row has at least one observation so chunks are valid
         all_missing = miss.all(axis=1)
         vals[all_missing, 0] = rng.standard_normal(all_missing.sum())
-        dt = base + pd.to_timedelta(t, unit="D")
+        dt = base + pd.to_timedelta(t, unit=td_unit)
         df = pd.DataFrame(vals, columns=[f"f{i}" for i in range(n_features)])
         df.insert(0, "date_time", dt)
+        if record_id_col:  # optional record_id column (README.md:41-53)
+            df.insert(1, "record_id", f"entity{e:03d}")
         df.to_csv(os.path.join(ent_dir, "time_series.csv"), index=False)
 
         n_notes = max(int(n_days * notes_per_day), 4)
         nt = np.sort(rng.uniform(0, n_days, n_notes))
-        ndt = base + pd.to_timedelta(nt, unit="D")
+        ndt = base + pd.to_timedelta(nt, unit=td_unit)
         notes = [f"note {e}-{i}: sensor reading discussed." for i in range(n_notes)]
         tdf = pd.DataFrame({"date_time": ndt, "note": notes})
         tdf.to_csv(os.path.join(ent_dir, "text.csv"), index=False)
 
         if with_embeddings:
-            # rel_times in days relative to first numeric timestamp, matching
-            # compute_text_embeddings.py:70-71
-            rel = nt - t[0]
+            # rel_times in DAYS relative to first numeric timestamp, matching
+            # compute_text_embeddings.py:70-71 (always days regardless of unit)
+            day_scale = {"days": 1.0, "hours": 1 / 24.0, "weeks": 7.0}[time_unit]
+            rel = (nt - t[0]) * day_scale
             emb = rng.standard_normal((n_notes, d_txt)).astype(np.float32)
             fname = embeddings_filename(llm_model, llm_layers, max_length)
             try:
@@ -93,3 +106,50 @@ def make_synthetic_dataset(
                     rel_times=rel.astype(np.float32),
                 )
     return root
+
+
+# dataset-shaped fixture parameters for every reference preset
+# (windows/units per reference main.py:790-834; feature counts, text
+# density and sparsity chosen to exercise each preset's shape class:
+# hours/weeks units, MIMIC-like high sparsity, dense-news text, wide
+# feature sets, record_id columns)
+PRESET_FIXTURES: dict[str, dict] = {
+    "GDELT":        dict(n_entities=4, n_features=5, n_days=200,
+                         obs_per_day=1.5, missing_rate=0.35,
+                         notes_per_day=1.5, time_unit="days"),
+    "RepoHealth":   dict(n_entities=3, n_features=6, n_days=420,
+                         obs_per_day=1.0, missing_rate=0.25,
+                         notes_per_day=0.15, time_unit="days"),
+    "MIMIC":        dict(n_entities=5, n_features=8, n_days=240,
+                         obs_per_day=1.2, missing_rate=0.7,
+                         notes_per_day=0.3, time_unit="hours",
+                         record_id_col=True),
+    "FNSPID":       dict(n_entities=3, n_features=4, n_days=420,
+                         obs_per_day=1.0, missing_rate=0.2,
+                         notes_per_day=1.2, time_unit="days"),
+    "ClusterTrace": dict(n_entities=4, n_features=6, n_days=160,
+                         obs_per_day=2.0, missing_rate=0.1,
+                         notes_per_day=0.2, time_unit="hours"),
+    "StudentLife":  dict(n_entities=4, n_features=5, n_days=320,
+                         obs_per_day=1.5, missing_rate=0.4,
+                         notes_per_day=0.5, time_unit="days"),
+    "ILINet":       dict(n_entities=3, n_features=3, n_days=260,
+                         obs_per_day=1.0, missing_rate=0.15,
+                         notes_per_day=0.25, time_unit="weeks"),
+    "CESNET":       dict(n_entities=4, n_features=4, n_days=120,
+                         obs_per_day=2.0, missing_rate=0.2,
+                         notes_per_day=0.6, time_unit="days"),
+    "EPA-Air":      dict(n_entities=4, n_features=3, n_days=120,
+                         obs_per_day=2.0, missing_rate=0.3,
+                         notes_per_day=0.7, time_unit="days"),
+}
+
+
+def make_preset_dataset(dataset: str, data_root: str, seed: int = 0,
+                        **overrides) -> str:
+    """Generate the dataset-shaped synthetic fixture for one of the 9
+    reference presets under `data_root/<dataset>/processed/...`."""
+    params = dict(PRESET_FIXTURES[dataset])
+    params.update(overrides)
+    return make_synthetic_dataset(
+        os.path.join(data_root, dataset), seed=seed, **params)

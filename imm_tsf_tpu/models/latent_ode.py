@@ -119,6 +119,14 @@ class LatentODE(nn.Module):
         if train:
             eps = jax.random.normal(self.make_rng("dropout"), mean_z0.shape)
             z0 = mean_z0 + std_z0 * eps
+        elif self.cfg.eval_sample_traj:
+            # reference eval protocol: SAMPLE z0 with n_traj=1 at eval
+            # (lib/latent_ode_components/latent_ode.py:70-72 runs the same
+            # sampling path in eval). Fixed key keeps eval deterministic
+            # under jit — one draw from the same distribution (the
+            # ProbAttention eval-sampling convention).
+            eps = jax.random.normal(jax.random.PRNGKey(0), mean_z0.shape)
+            z0 = mean_z0 + std_z0 * eps
         else:
             z0 = mean_z0
 

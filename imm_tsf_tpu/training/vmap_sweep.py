@@ -1,0 +1,200 @@
+"""Stacked-seed training: N independent experiments per chip in ONE
+vmapped program (VERDICT r1 weak #1 / next-step #5a).
+
+The reference sweeps experiments serially on one GPU (main_all.py:93-185).
+At IMM-TSF shapes a single experiment uses ~1% of a TPU chip's MXU — the
+sweep, not the step, is the real workload. Seed replicas of one config
+are embarrassingly parallel INSIDE the chip: stack (params, opt_state,
+rng) on a leading seed axis, vmap the train/eval steps, share the batch
+stream. XLA fuses the S replicas into batched matmuls, so S seeds cost
+roughly one seed's wall time.
+
+Semantics: every replica trains with the SAME data order (cfg.data_seed,
+defaulting to cfg.seed) and its OWN init/dropout chain (seed_i) — i.e.
+replica i reproduces `trainable(seed=seed_i, data_seed=base)` exactly
+(test_vmap_sweep.py), including the per-replica best-val-epoch /
+early-stopping protocol (reference main.py:1131-1170; the stacked run
+stops when EVERY replica has exhausted patience, replicas that already
+stopped simply stop updating their best-epoch bookkeeping).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..models import get_model
+from ..parallel.mesh import make_mesh, shard_batch
+from .evaluation import batch_error_sums, finalize_metrics, masked_mse_loss
+from .optim import make_optimizer
+from .trainer import init_state, make_forward
+
+logger = logging.getLogger("imm_tsf_tpu")
+
+
+def _stack_trees(trees):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None):
+    """Train len(seeds) replicas of cfg in one vmapped program.
+
+    Returns a list of per-seed result dicts (same keys as trainable())."""
+    from ..data.loader import parse_datasets
+
+    seeds = list(seeds if seeds is not None
+                 else range(cfg.seed, cfg.seed + cfg.vmap_seeds))
+    S = len(seeds)
+    assert S >= 1
+    if cfg.data_seed is None:
+        cfg = cfg.replace(data_seed=cfg.seed)
+    if data_obj is None:
+        data_obj = parse_datasets(cfg, verbose=False)
+    cfg = data_obj["cfg"]
+    mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+
+    model = get_model(cfg)
+    fusion = None
+    if cfg.enable_text:
+        from ..fusion.fusion_model import FusionModel
+
+        fusion = FusionModel(cfg)
+
+    sample_batch = next(iter(data_obj["train_dataloader"]))
+    # mirror trainable()'s chain per replica: key(seed) -> split -> init
+    rngs, params_l, stats_l = [], [], []
+    for s in seeds:
+        rng = jax.random.key(s, impl=cfg.rng_impl)
+        rng, init_rng = jax.random.split(rng)
+        p, st = init_state(cfg, model, fusion, sample_batch, init_rng)
+        rngs.append(rng)
+        params_l.append(p)
+        stats_l.append(st)
+    params = _stack_trees(params_l)
+    stats = _stack_trees(stats_l)
+    rng = jnp.stack(rngs)
+
+    tx = make_optimizer(cfg.lr, cfg.w_decay, clip_norm=1.0)
+    opt_state = jax.vmap(tx.init)(params)
+
+    forward = make_forward(cfg, model, fusion)
+
+    def loss_fn(p, st, batch, r):
+        pred_y, new_st = forward(p, st, batch, True, r)
+        return masked_mse_loss(
+            pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
+        ), new_st
+
+    def _train_one(p, st, o, batch, r):
+        (loss, new_st), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            p, st, batch, r
+        )
+        updates, o = tx.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return p, new_st, o, loss
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, stats, opt_state, batch, rngs):
+        return jax.vmap(_train_one, in_axes=(0, 0, 0, None, 0))(
+            params, stats, opt_state, batch, rngs
+        )
+
+    def _eval_one(p, st, batch):
+        pred_y, _ = forward(p, st, batch, False, None)
+        return batch_error_sums(
+            pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
+        )
+
+    @jax.jit
+    def eval_step(params, stats, batch):
+        return jax.vmap(_eval_one, in_axes=(0, 0, None))(params, stats, batch)
+
+    def run_eval(params, stats, loader):
+        acc = None
+        for batch in loader:
+            sums = jax.device_get(eval_step(params, stats, shard_batch(batch, mesh)))
+            if acc is None:
+                acc = {k: np.asarray(v, np.float64) for k, v in sums.items()}
+            else:
+                for k in acc:
+                    acc[k] += np.asarray(sums[k], np.float64)
+        if acc is None:
+            raise ValueError("evaluation loader yielded no batches (empty split)")
+        return [finalize_metrics({k: v[i] for k, v in acc.items()})
+                for i in range(S)]
+
+    from ..data.loader import PrefetchIterator
+
+    train_loader = data_obj["train_dataloader"]
+    if cfg.host_prefetch > 0:
+        train_loader = PrefetchIterator(train_loader, depth=cfg.host_prefetch)
+
+    best_val = np.full(S, np.inf)
+    best_iter = np.full(S, -1)
+    no_improve = np.zeros(S, int)
+    test_res: list = [None] * S
+    history: list = [[] for _ in range(S)]
+
+    for itr in range(cfg.epoch):
+        st_t = time.time()
+        last_loss = np.full(S, np.nan)
+        for batch in train_loader:
+            keys = jax.vmap(lambda k: jax.random.split(k))(rng)
+            rng, step_rng = keys[:, 0], keys[:, 1]
+            dev = shard_batch(batch, mesh)
+            params, stats, opt_state, loss = train_step(
+                params, stats, opt_state, dev, step_rng
+            )
+            last_loss = np.asarray(loss)
+        if np.isnan(last_loss).any():
+            bad = [seeds[i] for i in np.nonzero(np.isnan(last_loss))[0]]
+            raise FloatingPointError(
+                f"NaN loss at epoch {itr} for seeds {bad} "
+                f"(model={cfg.model}, dataset={cfg.dataset})"
+            )
+        val = run_eval(params, stats, data_obj["val_dataloader"])
+        test_now = None
+        improved = np.array(
+            [best_val[i] - val[i]["mse"] > cfg.early_stop_delta
+             and no_improve[i] < cfg.patience for i in range(S)]
+        )
+        if improved.any() and data_obj["test_dataloader"] is not None:
+            test_now = run_eval(params, stats, data_obj["test_dataloader"])
+        for i in range(S):
+            if no_improve[i] >= cfg.patience:  # replica already stopped
+                continue
+            if improved[i]:
+                best_val[i] = val[i]["mse"]
+                best_iter[i] = itr
+                no_improve[i] = 0
+                if test_now is not None:
+                    test_res[i] = test_now[i]
+            else:
+                no_improve[i] += 1
+            history[i].append(
+                dict(epoch=itr, train_loss=float(last_loss[i]), val=val[i])
+            )
+        secs = time.time() - st_t
+        logger.info(
+            "- Epoch %03d [vmap x%d] | losses %s | val mse %s | %.2fs",
+            itr, S, np.round(last_loss, 4).tolist(),
+            [round(v["mse"], 4) for v in val], secs,
+        )
+        if (no_improve >= cfg.patience).all():
+            break
+
+    out = []
+    for i in range(S):
+        r = dict(test_res[i] if test_res[i] is not None else val[i])
+        r["best_iter"] = int(best_iter[i])
+        r["seed"] = seeds[i]
+        r["history"] = history[i]
+        out.append(r)
+    return out

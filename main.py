@@ -87,6 +87,20 @@ def main(argv=None):
     logger.info("ExpID %s | %s", experiment_id, " ".join(sys.argv))
     logger.info(cfg.to_json())
 
+    if cfg.vmap_seeds > 1:
+        # N seed replicas trained in ONE vmapped program (sweep-throughput
+        # mode; training/vmap_sweep.py)
+        from imm_tsf_tpu.training.vmap_sweep import train_seed_sweep
+
+        results = train_seed_sweep(cfg)
+        for r in results:
+            printable = {k: v for k, v in r.items()
+                         if k in ("loss", "mse", "mae", "rmse", "mape",
+                                  "best_iter", "seed")}
+            logger.info("Final test metrics: %s", json.dumps(printable))
+            print(json.dumps(printable))
+        return results
+
     from imm_tsf_tpu.training.trainer import trainable
 
     res = trainable(cfg, checkpoint_dir=f"{cfg.save.rstrip('/')}/experiment_{experiment_id}")

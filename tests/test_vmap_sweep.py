@@ -1,0 +1,50 @@
+"""Stacked-seed vmapped training (training/vmap_sweep.py): each replica
+must reproduce its serial `trainable(seed=s_i, data_seed=base)` run —
+same best_iter, same metrics, same loss trajectory."""
+
+import numpy as np
+import pytest
+
+from imm_tsf_tpu.config import Config
+from imm_tsf_tpu.training.trainer import trainable
+from imm_tsf_tpu.training.vmap_sweep import train_seed_sweep
+
+
+def _base(synth_root, **over):
+    cfg = Config(dataset="EPA-Air", data_root=synth_root, model="DLinear",
+                 batch_size=8, epoch=3, patience=3, seed=1,
+                 device_loop=False, host_prefetch=0)
+    return cfg.replace(**over)
+
+
+def test_vmap_sweep_matches_serial(synth_root):
+    cfg = _base(synth_root)
+    stacked = train_seed_sweep(cfg, seeds=[1, 2, 3])
+    assert len(stacked) == 3
+    for r in stacked:
+        serial = trainable(cfg.replace(seed=r["seed"], data_seed=1))
+        assert r["best_iter"] == serial["best_iter"], r["seed"]
+        for k in ("mse", "mae", "rmse"):
+            np.testing.assert_allclose(r[k], serial[k], rtol=2e-4,
+                                       err_msg=f"seed {r['seed']} {k}")
+        la = [h["train_loss"] for h in r["history"]]
+        lb = [h["train_loss"] for h in serial["history"][: len(la)]]
+        np.testing.assert_allclose(la, lb, rtol=2e-4)
+
+
+def test_vmap_sweep_seeds_differ(synth_root):
+    """Replicas are genuinely independent experiments (different inits)."""
+    cfg = _base(synth_root, epoch=1, patience=1)
+    out = train_seed_sweep(cfg, seeds=[1, 2])
+    l1 = out[0]["history"][0]["train_loss"]
+    l2 = out[1]["history"][0]["train_loss"]
+    assert l1 != l2
+
+
+def test_vmap_sweep_with_fusion(synth_root):
+    cfg = _base(synth_root, epoch=2, patience=2, enable_text=True,
+                use_text_embeddings=True, TTF_module="TTF_RecAvg",
+                MMF_module="MMF_GR_Add")
+    out = train_seed_sweep(cfg, seeds=[1, 2])
+    for r in out:
+        assert np.isfinite(r["mse"]) and r["mse"] > 0
