@@ -55,6 +55,12 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None):
     assert S >= 1
     if cfg.data_seed is None:
         cfg = cfg.replace(data_seed=cfg.seed)
+    # the TPU hardware RNG ('rbg') is NOT vmap-stable: vmapped draws differ
+    # from the same key's sequential draws, so stacked replicas would not
+    # reproduce their serial runs for dropout-bearing models. threefry is
+    # counter-based and vmap-invariant — pin it for the replica chains
+    # (serial comparators must use rng_impl='threefry2x32' too).
+    cfg = cfg.replace(rng_impl="threefry2x32")
     if data_obj is None:
         data_obj = parse_datasets(cfg, verbose=False)
     cfg = data_obj["cfg"]

@@ -45,9 +45,16 @@ def install_stubs() -> None:
         mod.orthogonal = lambda *a, **k: None
         sys.modules["geotorch"] = mod
     if "stribor" not in sys.modules:
-        # import-time placeholder only; NeuralFlow's reference path is not
-        # exercised here (stribor has no CPU wheel in this image)
-        sys.modules["stribor"] = types.ModuleType("stribor")
+        # functional shim reimplementing the published continuous-coupling
+        # math (tests/stribor_shim.py) so the reference NeuralFlow runs
+        # head-to-head despite stribor having no wheel in this image
+        import stribor_shim
+
+        mod = types.ModuleType("stribor")
+        mod.ContinuousAffineCoupling = stribor_shim.ContinuousAffineCoupling
+        mod.Flow = stribor_shim.Flow
+        mod.net = stribor_shim.net
+        sys.modules["stribor"] = mod
     if "torchdiffeq" not in sys.modules:
         mod = types.ModuleType("torchdiffeq")
 

@@ -22,7 +22,8 @@ def test_vmap_sweep_matches_serial(synth_root):
     stacked = train_seed_sweep(cfg, seeds=[1, 2, 3])
     assert len(stacked) == 3
     for r in stacked:
-        serial = trainable(cfg.replace(seed=r["seed"], data_seed=1))
+        serial = trainable(cfg.replace(seed=r["seed"], data_seed=1,
+                                       rng_impl="threefry2x32"))
         assert r["best_iter"] == serial["best_iter"], r["seed"]
         for k in ("mse", "mae", "rmse"):
             np.testing.assert_allclose(r[k], serial[k], rtol=2e-4,
@@ -30,6 +31,22 @@ def test_vmap_sweep_matches_serial(synth_root):
         la = [h["train_loss"] for h in r["history"]]
         lb = [h["train_loss"] for h in serial["history"][: len(la)]]
         np.testing.assert_allclose(la, lb, rtol=2e-4)
+
+
+def test_vmap_sweep_matches_serial_with_dropout(synth_root):
+    """A dropout-bearing model exercises the per-replica rng chain — the
+    case where the rbg/vmap instability would break serial equality (the
+    sweep pins threefry, which is vmap-invariant)."""
+    cfg = _base(synth_root, model="PatchTST", epoch=2, patience=2,
+                d_model=32, d_ff=64, n_heads=2, e_layers=1, dropout=0.1)
+    stacked = train_seed_sweep(cfg, seeds=[1, 2])
+    for r in stacked:
+        serial = trainable(cfg.replace(seed=r["seed"], data_seed=1,
+                                       rng_impl="threefry2x32"))
+        assert r["best_iter"] == serial["best_iter"], r["seed"]
+        for k in ("mse", "mae"):
+            np.testing.assert_allclose(r[k], serial[k], rtol=2e-4,
+                                       err_msg=f"seed {r['seed']} {k}")
 
 
 def test_vmap_sweep_seeds_differ(synth_root):

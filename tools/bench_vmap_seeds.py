@@ -39,7 +39,10 @@ def main():
     cfg = Config(dataset="EPA-Air", data_root=args.data_root,
                  model=args.model, batch_size=32, epoch=args.epochs,
                  patience=args.epochs, seed=1, data_seed=1,
-                 device_loop=False, host_prefetch=0)
+                 device_loop=False, host_prefetch=0,
+                 # threefry: vmap-invariant, so stacked == serial exactly
+                 # (rbg draws differ under vmap — vmap_sweep.py note)
+                 rng_impl="threefry2x32")
     if args.model in MODEL_PRESETS:
         cfg = cfg.replace(**MODEL_PRESETS[args.model])
     data_obj = parse_datasets(cfg, verbose=False)
