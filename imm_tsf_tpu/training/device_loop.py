@@ -352,3 +352,60 @@ def reduce_eval_sums(sum_stack: dict) -> dict:
             acc += v[i]
         out[k] = acc
     return out
+
+
+def make_stacked_epoch_runners(cfg: Config, model, fusion, tx):
+    """vmapped-replica variants of the epoch runners (vmap_sweep.py
+    resident mode): S stacked (params, stats, opt_state, rng) train/eval
+    over ONE shared resident data store and perm — a whole S-seed epoch
+    is a single device dispatch. Single-chip mode (the replica axis takes
+    the parallelism the data axis would)."""
+    from .trainer import make_forward
+
+    forward = make_forward(cfg, model, fusion)
+
+    def _gather(res, idx):
+        return {k: jnp.take(v, idx, axis=0) for k, v in res.items()}
+
+    def loss_fn(params, stats, batch, rng):
+        pred_y, new_stats = forward(params, stats, batch, True, rng)
+        loss = masked_mse_loss(
+            pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
+        )
+        return loss, new_stats
+
+    def _train_epoch(params, stats, opt_state, rng, res, perm):
+        def body(carry, idx):
+            params, stats, opt_state, rng = carry
+            rng, step_rng = jax.random.split(rng)
+            batch = _gather(res, idx)
+            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, stats, batch, step_rng
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, stats, opt_state, rng), loss
+
+        (params, stats, opt_state, rng), losses = jax.lax.scan(
+            body, (params, stats, opt_state, rng), perm
+        )
+        return params, stats, opt_state, rng, losses
+
+    run_train = jax.jit(
+        jax.vmap(_train_epoch, in_axes=(0, 0, 0, 0, None, None)),
+        donate_argnums=(0, 1, 2),
+    )
+
+    def _eval_epoch(params, stats, res, perm):
+        def body(_, idx):
+            batch = _gather(res, idx)
+            pred_y, _ = forward(params, stats, batch, False, None)
+            return None, batch_error_sums(
+                pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
+            )
+
+        _, sums = jax.lax.scan(body, None, perm)
+        return sums
+
+    run_eval = jax.jit(jax.vmap(_eval_epoch, in_axes=(0, 0, None, None)))
+    return run_train, run_eval

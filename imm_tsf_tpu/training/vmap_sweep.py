@@ -142,6 +142,59 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None):
     if cfg.host_prefetch > 0:
         train_loader = PrefetchIterator(train_loader, depth=cfg.host_prefetch)
 
+    # --- stacked device-resident mode: a whole S-replica epoch is ONE
+    # lax.scan dispatch (vmap over the replica axis of the single-seed
+    # resident runners). Single-chip only — the replica axis takes the
+    # parallelism a mesh's data axis would.
+    resident = None
+    if cfg.device_loop and mesh is None:
+        from . import device_loop as DL
+        from .trainer import _find_shuffler
+
+        cap = cfg.device_loop_max_mb << 20
+        bit_train = _find_shuffler(data_obj["train_dataloader"])
+        r_train = DL.try_build_resident(data_obj["train_dataloader"], cap)
+        r_val = DL.try_build_resident(data_obj["val_dataloader"], cap)
+        test_loader = data_obj["test_dataloader"]
+        r_test = (DL.try_build_resident(test_loader, cap)
+                  if test_loader is not None else None)
+        if (bit_train is not None and r_train is not None
+                and r_val is not None
+                and (test_loader is None or r_test is not None)):
+            run_train_epoch, run_eval_epoch = DL.make_stacked_epoch_runners(
+                cfg, model, fusion, tx
+            )
+            res_train, rows_train = (
+                {k: jax.device_put(v) for k, v in r_train[0].items()},
+                r_train[1],
+            )
+            n_rows_train = next(iter(res_train.values())).shape[0]
+            res_val = {k: jax.device_put(v) for k, v in r_val[0].items()}
+            perm_val = DL.eval_perm(
+                _find_shuffler(data_obj["val_dataloader"]), r_val[1],
+                next(iter(res_val.values())).shape[0],
+            )
+            if test_loader is not None:
+                res_test = {k: jax.device_put(v) for k, v in r_test[0].items()}
+                perm_test = DL.eval_perm(
+                    _find_shuffler(test_loader), r_test[1],
+                    next(iter(res_test.values())).shape[0],
+                )
+            resident = DL
+            logger.info("stacked device-resident epochs: %d replicas x %d "
+                        "train windows in HBM", S, n_rows_train - 1)
+
+    def _eval_split(params, stats, which):
+        if resident is not None:
+            res, perm = ((res_val, perm_val) if which == "val"
+                         else (res_test, perm_test))
+            sums = jax.device_get(run_eval_epoch(params, stats, res, perm))
+            return [finalize_metrics(resident.reduce_eval_sums(
+                {k: v[i] for k, v in sums.items()})) for i in range(S)]
+        loader = data_obj["val_dataloader" if which == "val"
+                          else "test_dataloader"]
+        return run_eval(params, stats, loader)
+
     best_val = np.full(S, np.inf)
     best_iter = np.full(S, -1)
     no_improve = np.zeros(S, int)
@@ -151,28 +204,35 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None):
     for itr in range(cfg.epoch):
         st_t = time.time()
         last_loss = np.full(S, np.nan)
-        for batch in train_loader:
-            keys = jax.vmap(lambda k: jax.random.split(k))(rng)
-            rng, step_rng = keys[:, 0], keys[:, 1]
-            dev = shard_batch(batch, mesh)
-            params, stats, opt_state, loss = train_step(
-                params, stats, opt_state, dev, step_rng
+        if resident is not None:
+            perm = resident.epoch_perm(bit_train, rows_train, n_rows_train)
+            params, stats, opt_state, rng, losses = run_train_epoch(
+                params, stats, opt_state, rng, res_train, perm
             )
-            last_loss = np.asarray(loss)
+            last_loss = np.asarray(losses)[:, -1]
+        else:
+            for batch in train_loader:
+                keys = jax.vmap(lambda k: jax.random.split(k))(rng)
+                rng, step_rng = keys[:, 0], keys[:, 1]
+                dev = shard_batch(batch, mesh)
+                params, stats, opt_state, loss = train_step(
+                    params, stats, opt_state, dev, step_rng
+                )
+                last_loss = np.asarray(loss)
         if np.isnan(last_loss).any():
             bad = [seeds[i] for i in np.nonzero(np.isnan(last_loss))[0]]
             raise FloatingPointError(
                 f"NaN loss at epoch {itr} for seeds {bad} "
                 f"(model={cfg.model}, dataset={cfg.dataset})"
             )
-        val = run_eval(params, stats, data_obj["val_dataloader"])
+        val = _eval_split(params, stats, "val")
         test_now = None
         improved = np.array(
             [best_val[i] - val[i]["mse"] > cfg.early_stop_delta
              and no_improve[i] < cfg.patience for i in range(S)]
         )
         if improved.any() and data_obj["test_dataloader"] is not None:
-            test_now = run_eval(params, stats, data_obj["test_dataloader"])
+            test_now = _eval_split(params, stats, "test")
         for i in range(S):
             if no_improve[i] >= cfg.patience:  # replica already stopped
                 continue

@@ -35,7 +35,7 @@ from imm_tsf_tpu.utils.table import Table
 
 
 def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
-                    data_root, epoch, results_dir: Path):
+                    data_root, epoch, results_dir: Path, seeds: int = 1):
     data_name, model_name, enable_text, TTF_module, MMF_module = combo
     result_filename = (
         f"{data_name}_{model_name}_enable_text={enable_text}"
@@ -68,7 +68,21 @@ def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
     from imm_tsf_tpu.training.trainer import trainable
 
     t0 = time.time()
-    best_metrics = trainable(cfg)
+    seed_metrics = None
+    if seeds > 1:
+        # N seed replicas in ONE vmapped program (training/vmap_sweep.py);
+        # the primary metrics are the base seed's, per-seed results attached
+        from imm_tsf_tpu.training.vmap_sweep import train_seed_sweep
+
+        results = train_seed_sweep(cfg.replace(vmap_seeds=seeds))
+        best_metrics = results[0]
+        seed_metrics = [
+            {k: v for k, v in r.items()
+             if k in ("loss", "mse", "mae", "rmse", "mape", "best_iter", "seed")}
+            for r in results
+        ]
+    else:
+        best_metrics = trainable(cfg)
     elapsed = time.time() - t0
     result_data = {
         "dataset": data_name,
@@ -79,6 +93,8 @@ def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
         "metrics": {k: v for k, v in best_metrics.items()
                     if k in ("loss", "mse", "mae", "rmse", "mape", "best_iter")},
     }
+    if seed_metrics is not None:
+        result_data["seed_metrics"] = seed_metrics
     results_dir.mkdir(parents=True, exist_ok=True)
     with open(result_path, "w") as f:
         json.dump(result_data, f, indent=4)
@@ -113,6 +129,10 @@ def main(argv=None):
     ap.add_argument("--data_root", default="./data")
     ap.add_argument("--results_dir", default="experiment_results")
     ap.add_argument("--parallel", type=int, default=1)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="train N seed replicas per combo in one vmapped "
+                         "program (training/vmap_sweep.py); per-seed "
+                         "metrics land in the result JSON")
     ap.add_argument("--worker_platform", choices=["cpu", "tpu"], default="cpu",
                     help="accelerator for --parallel workers: cpu (default; "
                          "safe with one chip) or tpu (one chip per worker "
@@ -168,7 +188,7 @@ def main(argv=None):
                 pool.submit(
                     run_combination, c, args.batch_size, args.llm_model_fusion,
                     bool(args.use_text_embeddings), args.data_root, args.epoch,
-                    results_dir,
+                    results_dir, args.seeds,
                 ): c
                 for c in combinations
             }
@@ -193,7 +213,7 @@ def main(argv=None):
             status, dt = run_combination(
                 c, args.batch_size, args.llm_model_fusion,
                 bool(args.use_text_embeddings), args.data_root, args.epoch,
-                results_dir,
+                results_dir, seeds=args.seeds,
             )
             run_times.append((" | ".join(map(str, c)), dt))
 

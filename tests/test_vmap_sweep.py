@@ -65,3 +65,20 @@ def test_vmap_sweep_with_fusion(synth_root):
     out = train_seed_sweep(cfg, seeds=[1, 2])
     for r in out:
         assert np.isfinite(r["mse"]) and r["mse"] > 0
+
+
+def test_vmap_sweep_resident_matches_serial(synth_root):
+    """Stacked device-RESIDENT mode (one scan dispatch per S-replica
+    epoch) must also reproduce the serial resident trainable() runs."""
+    cfg = _base(synth_root, device_loop=True)
+    stacked = train_seed_sweep(cfg, seeds=[1, 2])
+    for r in stacked:
+        serial = trainable(cfg.replace(seed=r["seed"], data_seed=1,
+                                       rng_impl="threefry2x32"))
+        assert r["best_iter"] == serial["best_iter"], r["seed"]
+        for k in ("mse", "mae", "rmse"):
+            np.testing.assert_allclose(r[k], serial[k], rtol=2e-4,
+                                       err_msg=f"seed {r['seed']} {k}")
+        la = [h["train_loss"] for h in r["history"]]
+        lb = [h["train_loss"] for h in serial["history"][: len(la)]]
+        np.testing.assert_allclose(la, lb, rtol=2e-4)

@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--seeds", type=int, default=4)
     ap.add_argument("--model", default="PatchTST")
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--device_loop", action="store_true",
+                    help="stacked device-resident mode: one scan dispatch "
+                         "per S-replica epoch")
     ap.add_argument("--data_root", default="/tmp/bench_vmap")
     args = ap.parse_args()
 
@@ -39,7 +42,7 @@ def main():
     cfg = Config(dataset="EPA-Air", data_root=args.data_root,
                  model=args.model, batch_size=32, epoch=args.epochs,
                  patience=args.epochs, seed=1, data_seed=1,
-                 device_loop=False, host_prefetch=0,
+                 device_loop=args.device_loop, host_prefetch=0,
                  # threefry: vmap-invariant, so stacked == serial exactly
                  # (rbg draws differ under vmap — vmap_sweep.py note)
                  rng_impl="threefry2x32")
