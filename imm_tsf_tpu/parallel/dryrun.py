@@ -261,6 +261,20 @@ def _trainable_e2e(n_devices: int) -> None:
         print(f"  dryrun[trainable-e2e]({n_devices} devices): 2 epochs, "
               f"mse={res['mse']:.5f} == single-dev OK", flush=True)
 
+        # stacked-seed sweep with the REPLICA axis sharded over the mesh:
+        # n_devices independent experiments, one per chip, zero collectives
+        from ..training.vmap_sweep import train_seed_sweep
+
+        sweep = train_seed_sweep(
+            Config(**base, mesh_shape=(n_devices,), device_loop=True),
+            seeds=list(range(1, n_devices + 1)),
+        )
+        assert len(sweep) == n_devices
+        assert all(np.isfinite(r["mse"]) and r["mse"] > 0 for r in sweep)
+        print(f"  dryrun[vmap-seeds-sharded]({n_devices} devices): "
+              f"{n_devices} replicas, mse="
+              f"{[round(r['mse'], 4) for r in sweep[:3]]}... OK", flush=True)
+
 
 def run(n_devices: int) -> None:
     import jax

@@ -144,10 +144,12 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None):
 
     # --- stacked device-resident mode: a whole S-replica epoch is ONE
     # lax.scan dispatch (vmap over the replica axis of the single-seed
-    # resident runners). Single-chip only — the replica axis takes the
-    # parallelism a mesh's data axis would.
+    # resident runners). With a mesh, the REPLICA axis is sharded over
+    # 'data' (S % n_devices == 0): each chip trains S/n independent
+    # replicas with ZERO collectives — sweep parallelism over the pod.
     resident = None
-    if cfg.device_loop and mesh is None:
+    replica_sharded = (mesh is not None and S % mesh.devices.size == 0)
+    if cfg.device_loop and (mesh is None or replica_sharded):
         from . import device_loop as DL
         from .trainer import _find_shuffler
 
@@ -164,25 +166,44 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None):
             run_train_epoch, run_eval_epoch = DL.make_stacked_epoch_runners(
                 cfg, model, fusion, tx
             )
-            res_train, rows_train = (
-                {k: jax.device_put(v) for k, v in r_train[0].items()},
-                r_train[1],
-            )
+            if replica_sharded:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep_sh = NamedSharding(mesh, P("data"))  # replica axis
+                data_sh = NamedSharding(mesh, P())  # data fully replicated
+                params = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, rep_sh), params)
+                stats = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, rep_sh), stats)
+                opt_state = jax.tree_util.tree_map(
+                    lambda x: (jax.device_put(x, rep_sh)
+                               if hasattr(x, "ndim") and x.ndim >= 1
+                               else x), opt_state)
+                rng = jax.device_put(rng, rep_sh)
+                _put = lambda d: {k: jax.device_put(v, data_sh)
+                                  for k, v in d.items()}
+            else:
+                _put = lambda d: {k: jax.device_put(v) for k, v in d.items()}
+            res_train, rows_train = _put(r_train[0]), r_train[1]
             n_rows_train = next(iter(res_train.values())).shape[0]
-            res_val = {k: jax.device_put(v) for k, v in r_val[0].items()}
+            res_val = _put(r_val[0])
             perm_val = DL.eval_perm(
                 _find_shuffler(data_obj["val_dataloader"]), r_val[1],
                 next(iter(res_val.values())).shape[0],
             )
             if test_loader is not None:
-                res_test = {k: jax.device_put(v) for k, v in r_test[0].items()}
+                res_test = _put(r_test[0])
                 perm_test = DL.eval_perm(
                     _find_shuffler(test_loader), r_test[1],
                     next(iter(res_test.values())).shape[0],
                 )
             resident = DL
-            logger.info("stacked device-resident epochs: %d replicas x %d "
-                        "train windows in HBM", S, n_rows_train - 1)
+            logger.info(
+                "stacked device-resident epochs: %d replicas x %d train "
+                "windows in HBM%s", S, n_rows_train - 1,
+                f", replica axis sharded over {mesh.devices.size} devices"
+                if replica_sharded else "",
+            )
 
     def _eval_split(params, stats, which):
         if resident is not None:

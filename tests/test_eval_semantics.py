@@ -118,3 +118,16 @@ def test_prob_sparse_fixed_key_inside_sampling_spread(synth_root):
     lo = min(sampled) - 0.02 * m_fixed["mse"]
     hi = max(sampled) + 0.02 * m_fixed["mse"]
     assert lo <= m_fixed["mse"] <= hi, (m_fixed["mse"], sampled, spread)
+
+
+def test_eval_sample_traj_flows_through_trainable(synth_root):
+    """cfg.eval_sample_traj must flow through the production trainer
+    (incl. the device-resident loop) and change eval metrics."""
+    base = dict(dataset="EPA-Air", data_root=synth_root, model="NeuralFlow",
+                batch_size=16, epoch=2, patience=2, seed=1,
+                nf_hidden_dim=8, nf_rec_dims=8, nf_latents=6,
+                nf_hidden_layers=1)
+    a = trainable(Config(**base, eval_sample_traj=False))
+    b = trainable(Config(**base, eval_sample_traj=True))
+    assert np.isfinite(b["mse"]) and b["mse"] > 0
+    assert a["mse"] != b["mse"]

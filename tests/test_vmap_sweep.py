@@ -82,3 +82,20 @@ def test_vmap_sweep_resident_matches_serial(synth_root):
         la = [h["train_loss"] for h in r["history"]]
         lb = [h["train_loss"] for h in serial["history"][: len(la)]]
         np.testing.assert_allclose(la, lb, rtol=2e-4)
+
+
+def test_vmap_sweep_replica_sharded_over_mesh(synth_root):
+    """With a mesh, the replica axis shards over 'data': 8 seeds on 8
+    virtual devices (one replica per chip, zero collectives) must still
+    reproduce the serial runs."""
+    cfg = _base(synth_root, device_loop=True, mesh_shape=(8,), epoch=2,
+                patience=2)
+    stacked = train_seed_sweep(cfg, seeds=list(range(1, 9)))
+    assert len(stacked) == 8
+    for r in stacked[:3]:  # spot-check three replicas against serial
+        serial = trainable(cfg.replace(seed=r["seed"], data_seed=1,
+                                       mesh_shape=(), rng_impl="threefry2x32"))
+        assert r["best_iter"] == serial["best_iter"], r["seed"]
+        for k in ("mse", "mae"):
+            np.testing.assert_allclose(r[k], serial[k], rtol=2e-4,
+                                       err_msg=f"seed {r['seed']} {k}")
