@@ -43,8 +43,13 @@ def _stack_trees(trees):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
 
 
-def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None):
+def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None,
+                     checkpoint_dir: str | None = None):
     """Train len(seeds) replicas of cfg in one vmapped program.
+
+    checkpoint_dir enables per-epoch stacked train-state checkpoints
+    (orbax handles the replica-stacked pytrees transparently) and true
+    resume via cfg.load — the same contract as trainable().
 
     Returns a list of per-seed result dicts (same keys as trainable())."""
     from ..data.loader import parse_datasets
@@ -148,6 +153,7 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None):
     # 'data' (S % n_devices == 0): each chip trains S/n independent
     # replicas with ZERO collectives — sweep parallelism over the pod.
     resident = None
+    reshard_state = None
     replica_sharded = (mesh is not None and S % mesh.devices.size == 0)
     if cfg.device_loop and (mesh is None or replica_sharded):
         from . import device_loop as DL
@@ -171,15 +177,20 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None):
 
                 rep_sh = NamedSharding(mesh, P("data"))  # replica axis
                 data_sh = NamedSharding(mesh, P())  # data fully replicated
-                params = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, rep_sh), params)
-                stats = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, rep_sh), stats)
-                opt_state = jax.tree_util.tree_map(
-                    lambda x: (jax.device_put(x, rep_sh)
-                               if hasattr(x, "ndim") and x.ndim >= 1
-                               else x), opt_state)
-                rng = jax.device_put(rng, rep_sh)
+
+                def reshard_state(params, stats, opt_state, rng):
+                    put = lambda x: jax.device_put(x, rep_sh)
+                    return (
+                        jax.tree_util.tree_map(put, params),
+                        jax.tree_util.tree_map(put, stats),
+                        jax.tree_util.tree_map(
+                            lambda x: (put(x) if hasattr(x, "ndim")
+                                       and x.ndim >= 1 else x), opt_state),
+                        jax.device_put(rng, rep_sh),
+                    )
+
+                params, stats, opt_state, rng = reshard_state(
+                    params, stats, opt_state, rng)
                 _put = lambda d: {k: jax.device_put(v, data_sh)
                                   for k, v in d.items()}
             else:
@@ -221,8 +232,38 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None):
     no_improve = np.zeros(S, int)
     test_res: list = [None] * S
     history: list = [[] for _ in range(S)]
+    start_epoch = 0
 
-    for itr in range(cfg.epoch):
+    if cfg.load is not None and checkpoint_dir is not None:
+        try:
+            from .checkpoint import load_train_state
+            from .trainer import _find_shuffler
+
+            params, stats, opt_state, meta, ck_step = load_train_state(
+                checkpoint_dir, params, stats, opt_state
+            )
+            start_epoch = int(meta["epoch"]) + 1
+            best_val = np.asarray(meta["best_val"], np.float64)
+            best_iter = np.asarray(meta["best_iter"], int)
+            no_improve = np.asarray(meta["no_improve"], int)
+            test_res = meta["test_res"]
+            history = meta["history"]
+            rng = jax.vmap(
+                lambda d: jax.random.wrap_key_data(d, impl="threefry2x32")
+            )(jnp.asarray(meta["rng"], jnp.uint32))
+            shuffler = _find_shuffler(data_obj["train_dataloader"])
+            if meta.get("data_rng_state") is not None and shuffler is not None:
+                shuffler._rng.bit_generator.state = meta["data_rng_state"]
+            if reshard_state is not None:  # restore replica-axis sharding
+                params, stats, opt_state, rng = reshard_state(
+                    params, stats, opt_state, rng)
+            logger.info("Resumed stacked sweep state (epoch %d) from %s",
+                        ck_step, checkpoint_dir)
+        except (FileNotFoundError, KeyError) as e:
+            logger.info("No resumable sweep checkpoint at %s (%s); training "
+                        "from scratch", checkpoint_dir, e)
+
+    for itr in range(start_epoch, cfg.epoch):
         st_t = time.time()
         last_loss = np.full(S, np.nan)
         if resident is not None:
@@ -274,6 +315,22 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None):
             itr, S, np.round(last_loss, 4).tolist(),
             [round(v["mse"], 4) for v in val], secs,
         )
+        if checkpoint_dir is not None:
+            from .checkpoint import save_train_state
+            from .trainer import _find_shuffler
+
+            shuffler = _find_shuffler(data_obj["train_dataloader"])
+            meta = dict(
+                epoch=itr, seeds=seeds,
+                best_val=best_val.tolist(), best_iter=best_iter.tolist(),
+                no_improve=no_improve.tolist(), test_res=test_res,
+                history=history,
+                rng=np.asarray(jax.random.key_data(rng)).tolist(),
+                data_rng_state=(shuffler._rng.bit_generator.state
+                                if shuffler is not None else None),
+            )
+            save_train_state(checkpoint_dir, params, stats, opt_state,
+                             meta, itr)
         if (no_improve >= cfg.patience).all():
             break
 

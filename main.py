@@ -92,7 +92,10 @@ def main(argv=None):
         # mode; training/vmap_sweep.py)
         from imm_tsf_tpu.training.vmap_sweep import train_seed_sweep
 
-        results = train_seed_sweep(cfg)
+        results = train_seed_sweep(
+            cfg,
+            checkpoint_dir=f"{cfg.save.rstrip('/')}/experiment_{experiment_id}",
+        )
         for r in results:
             printable = {k: v for k, v in r.items()
                          if k in ("loss", "mse", "mae", "rmse", "mape",

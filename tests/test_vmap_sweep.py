@@ -99,3 +99,24 @@ def test_vmap_sweep_replica_sharded_over_mesh(synth_root):
         for k in ("mse", "mae"):
             np.testing.assert_allclose(r[k], serial[k], rtol=2e-4,
                                        err_msg=f"seed {r['seed']} {k}")
+
+
+def test_vmap_sweep_resume_equals_uninterrupted(synth_root, tmp_path):
+    """Stacked-sweep checkpoint/resume: interrupt at epoch 2, resume to
+    the full budget — identical per-replica results to the uninterrupted
+    run (the trainable() resume contract, now for the stacked mode)."""
+    cfg = _base(synth_root, epoch=4, patience=4, device_loop=True)
+    full = train_seed_sweep(cfg, seeds=[1, 2],
+                            checkpoint_dir=str(tmp_path / "full"))
+
+    train_seed_sweep(cfg.replace(epoch=2), seeds=[1, 2],
+                     checkpoint_dir=str(tmp_path / "res"))
+    resumed = train_seed_sweep(cfg.replace(load="resume"), seeds=[1, 2],
+                               checkpoint_dir=str(tmp_path / "res"))
+
+    for rf, rr in zip(full, resumed):
+        assert rr["best_iter"] == rf["best_iter"], rf["seed"]
+        for k in ("mse", "mae", "rmse"):
+            np.testing.assert_allclose(rr[k], rf[k], rtol=0, atol=0,
+                                       err_msg=f"seed {rf['seed']} {k}")
+        assert [h["epoch"] for h in rr["history"]] == [0, 1, 2, 3]
