@@ -44,19 +44,36 @@ from .evaluation import batch_error_sums, masked_mse_loss
 
 
 def _unwrap(loader):
-    """Return (BatchIterator, embed_wrapper_or_None) under optional
-    _EmbedNotesLoader / PrefetchIterator wrapping."""
-    embed = None
+    """Return (BatchIterator, rebuild) under optional _EmbedNotesLoader /
+    _TimeLLMPromptLoader / PrefetchIterator wrapping; rebuild(probe)
+    re-applies the batch-independent preprocessing wrappers (note
+    embedding, prompt ids — both per-window computations) around a probe
+    iterator."""
+    wrappers = []
     while True:
         name = type(loader).__name__
         if name == "_EmbedNotesLoader":
-            embed = loader
+            w = loader
+            wrappers.append(lambda base, w=w: type(w)(
+                base, w.llm, w.llm_params, w.tokenizer, w.max_length,
+                llm_mesh=getattr(w, "llm_mesh", None),
+            ))
+            loader = loader.base
+        elif name == "_TimeLLMPromptLoader":
+            w = loader
+            wrappers.append(lambda base, w=w: type(w)(base, w.cfg, w.tokenizer))
             loader = loader.base
         elif name == "PrefetchIterator":
             loader = loader.base
         else:
             break
-    return loader, embed
+
+    def rebuild(probe):
+        for wrap in reversed(wrappers):
+            probe = wrap(probe)
+        return probe
+
+    return loader, (rebuild if wrappers else None)
 
 
 def try_build_resident(loader, max_bytes: int = 4 << 30):
@@ -69,7 +86,7 @@ def try_build_resident(loader, max_bytes: int = 4 << 30):
 
     if loader is None:
         return None
-    bit, embed = _unwrap(loader)
+    bit, rebuild = _unwrap(loader)
     if not isinstance(bit, BatchIterator):
         return None
 
@@ -77,9 +94,7 @@ def try_build_resident(loader, max_bytes: int = 4 << 30):
         bit.chunks, bit.indices, bit.batch_size, bit.collate_fn,
         shuffle=False, pad_to_batch=False,
     )
-    it = probe if embed is None else type(embed)(
-        probe, embed.llm, embed.llm_params, embed.tokenizer, embed.max_length
-    )
+    it = probe if rebuild is None else rebuild(probe)
 
     stacks: list[dict] = []
     for out in it:

@@ -233,6 +233,7 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None,
     test_res: list = [None] * S
     history: list = [[] for _ in range(S)]
     start_epoch = 0
+    val = None
 
     if cfg.load is not None and checkpoint_dir is not None:
         try:
@@ -333,6 +334,11 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None,
                              meta, itr)
         if (no_improve >= cfg.patience).all():
             break
+
+    if val is None:
+        # resumed at (or past) the full epoch budget: the loop never ran —
+        # fill the no-test fallback from a fresh val evaluation
+        val = _eval_split(params, stats, "val")
 
     out = []
     for i in range(S):

@@ -206,3 +206,23 @@ def test_timellm_exact_prompt_trains(synth_root):
     # both prompt mechanisms land in the same quality regime
     assert abs(exact["mse"] - fast["mse"]) / fast["mse"] < 0.25, (
         exact["mse"], fast["mse"])
+
+
+def test_timellm_exact_prompt_device_loop_matches_streaming(synth_root):
+    """The prompt-id loader is per-window independent, so the resident
+    epoch path must be eligible and match the streaming trajectory."""
+    from imm_tsf_tpu.config import Config
+    from imm_tsf_tpu.training.trainer import trainable
+
+    base = dict(dataset="EPA-Air", data_root=synth_root, model="TimeLLM",
+                history=7, pred_window=7, stride=7, time_unit="days",
+                batch_size=16, epoch=2, patience=2, seed=1,
+                llm_model_timellm="GPT2", llm_layers_timellm=1,
+                input_token_len=4, d_model=16, d_ff=32, n_heads=2,
+                ts_vocab_size=64, top_k=3, timellm_prompt_len=32,
+                timellm_exact_prompt=True, host_prefetch=0)
+    a = trainable(Config(**base, device_loop=True))
+    b = trainable(Config(**base, device_loop=False))
+    assert a["best_iter"] == b["best_iter"]
+    for k in ("mse", "mae"):
+        np.testing.assert_allclose(a[k], b[k], rtol=2e-4, err_msg=k)
