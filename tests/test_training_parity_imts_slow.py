@@ -285,3 +285,39 @@ def test_neural_flow_training_quality_parity(synth_root):
     # both sides are stochastic estimates with independent inits AND the
     # reference side's flow runs through the shim — use the widest band
     _assert_parity("NeuralFlow", ours, ref, rel=0.2)
+
+
+def test_timellm_exact_prompt_training_quality_parity(synth_root):
+    """TimeLLM with the REFERENCE prompt mechanism on our side too
+    (timellm_exact_prompt=True): host stats->text->tokenize vs the
+    reference's runtime tokenization — the closest possible protocol
+    match (round 2; the pseudo-token comparison above covers the fast
+    path)."""
+    import torch
+
+    def _offline_llm(self, model_name, layers):
+        from transformers import GPT2Config, GPT2Model
+
+        cfg = GPT2Config(num_hidden_layers=layers)
+        self.llm_model = GPT2Model(cfg)
+        self.tokenizer = _OfflineTok()
+
+    hp = dict(llm_layers_timellm=2, input_token_len=4, d_model=16, d_ff=32,
+              n_heads=2, ts_vocab_size=64, top_k=3)
+    with reference_path():
+        import models.TimeLLM as ref_tl
+
+        orig = ref_tl.TimeLLM._get_model_and_tokenizer
+        ref_tl.TimeLLM._get_model_and_tokenizer = _offline_llm
+    try:
+        ref = _train_reference(synth_root, "TimeLLM", **hp)
+    finally:
+        with reference_path():
+            import models.TimeLLM as ref_tl
+
+            ref_tl.TimeLLM._get_model_and_tokenizer = orig
+    ours = _train_ours(synth_root, "TimeLLM", llm_model_timellm="GPT2",
+                       timellm_exact_prompt=True, timellm_prompt_len=64, **hp)
+    # same prompt MECHANISM both sides; each side still has its own
+    # random frozen LLM + hash tokenizer, so the band stays loose
+    _assert_parity("TimeLLM-exact-prompt", ours, ref, rel=0.15)

@@ -74,6 +74,11 @@ def main():
     print(f"stacked(vmap): {t_stacked:.2f}s   serial: {t_serial:.2f}s   "
           f"speedup {t_serial / t_stacked:.2f}x")
     print("per-seed MSE (stacked):", [round(r["mse"], 4) for r in stacked])
+    n_windows = len(data_obj["train_dataloader"]) * cfg.batch_size
+    agg = args.seeds * n_windows * args.epochs / t_stacked
+    print(f"aggregate training throughput: {agg:.0f} windows/s/chip "
+          f"({args.seeds} experiments x {n_windows} windows x "
+          f"{args.epochs} epochs, incl. eval epochs)")
 
 
 if __name__ == "__main__":
