@@ -28,11 +28,21 @@ def load_trace(trace_dir: str) -> dict:
 
 def device_pids(trace: dict) -> set:
     pids = set()
+    host_pids = set()
+    has_x = {ev.get("pid") for ev in trace.get("traceEvents", []) if ev.get("ph") == "X"}
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             name = ev.get("args", {}).get("name", "")
             if re.search(r"TPU|/device:|Device", name) and "CPU" not in name:
                 pids.add(ev["pid"])
+            elif "CPU" in name:
+                host_pids.add(ev["pid"])
+    pids &= has_x
+    if not pids and host_pids & has_x:
+        # CPU-platform trace (JAX_PLATFORM_NAME=cpu): no device track exists;
+        # rank the host XLA:CPU op events instead so the tool stays usable
+        print("# no TPU device track; ranking host CPU events")
+        return host_pids & has_x
     return pids
 
 
@@ -49,8 +59,17 @@ def main():
             continue
         dur = ev.get("dur", 0)
         name = ev.get("name", "?")
+        if name.startswith("$"):
+            # host python-frame spans ('$file.py:123 fn') — tracing overhead
+            # records, not compute ops
+            continue
+        if re.fullmatch(r"\d+", name):
+            # whole-program step/group markers (named '0', '1', ...) span
+            # every op beneath them — counting them would double the total
+            # and bury the real ranking
+            continue
         # strip fusion/op indices for grouping: fusion.123 -> fusion
-        base = re.sub(r"[.\d]+$", "", name)
+        base = re.sub(r"[.\d]+$", "", name) or name
         by_op[base] += dur
         counts[base] += 1
         total += dur
