@@ -228,6 +228,10 @@ class Config:
     # train N init/dropout seed replicas per chip in ONE vmapped program
     # (cfg.seed, cfg.seed+1, ...); main.py prints per-seed results
     vmap_seeds: int = 1
+    # learning-rate grid stacked onto the same vmapped program (each of the
+    # vmap_seeds replicas trains once per lr; per-replica lr rides in the
+    # vmapped opt_state) — e.g. --vmap_lrs 1e-3 5e-4 1e-4
+    vmap_lrs: tuple = ()
     mesh_shape: tuple = ()  # e.g. (8,) for 8-way data parallel; () = single chip
     mesh_axis_names: tuple = ("data",)
     # matmul precision: "float32" (TPU default — fp32 operands already run

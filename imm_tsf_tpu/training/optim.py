@@ -24,7 +24,7 @@ def _label_tree(params):
     return jax.tree_util.tree_map_with_path(label, params)
 
 
-def make_optimizer(lr: float, w_decay: float, clip_norm: float = 1.0):
+def _build(lr, w_decay: float, clip_norm: float):
     train_tx = optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.add_decayed_weights(w_decay) if w_decay else optax.identity(),
@@ -34,3 +34,16 @@ def make_optimizer(lr: float, w_decay: float, clip_norm: float = 1.0):
     return optax.multi_transform(
         {"train": train_tx, "freeze": optax.set_to_zero()}, _label_tree
     )
+
+
+def make_optimizer(lr: float, w_decay: float, clip_norm: float = 1.0,
+                   inject_lr: bool = False):
+    """inject_lr=True stores lr in opt_state (optax.inject_hyperparams) so
+    stacked-replica sweeps (training/vmap_sweep.py) can carry a PER-REPLICA
+    learning rate on the vmapped state axis; numerics are identical to the
+    plain chain."""
+    if inject_lr:
+        return optax.inject_hyperparams(
+            lambda lr: _build(lr, w_decay, clip_norm)
+        )(lr=lr)
+    return _build(lr, w_decay, clip_norm)

@@ -1,5 +1,6 @@
-"""Stacked-seed training: N independent experiments per chip in ONE
-vmapped program (VERDICT r1 weak #1 / next-step #5a).
+"""Stacked-replica training: N independent experiments (seed and/or
+learning-rate grid) per chip in ONE vmapped program (VERDICT r1 weak #1
+/ next-step #5a).
 
 The reference sweeps experiments serially on one GPU (main_all.py:93-185).
 At IMM-TSF shapes a single experiment uses ~1% of a TPU chip's MXU — the
@@ -43,20 +44,30 @@ def _stack_trees(trees):
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *trees)
 
 
-def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None,
+def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
+                     data_obj: dict | None = None,
                      checkpoint_dir: str | None = None):
-    """Train len(seeds) replicas of cfg in one vmapped program.
+    """Train the (seeds x lrs) replica grid of cfg in one vmapped program.
+
+    lrs (default: just cfg.lr) extends the stack to a LEARNING-RATE sweep:
+    the per-replica lr rides on the vmapped opt_state axis via
+    optax.inject_hyperparams, so hyperparameter tuning gets the same
+    one-dispatch throughput as seed replication — replica (s, l)
+    reproduces `trainable(seed=s, lr=l, data_seed=base)` exactly
+    (the reference tunes lr serially via tunable_params, main.py:1208-1243).
 
     checkpoint_dir enables per-epoch stacked train-state checkpoints
     (orbax handles the replica-stacked pytrees transparently) and true
     resume via cfg.load — the same contract as trainable().
 
-    Returns a list of per-seed result dicts (same keys as trainable())."""
+    Returns a list of per-replica result dicts (same keys as trainable())."""
     from ..data.loader import parse_datasets
 
     seeds = list(seeds if seeds is not None
                  else range(cfg.seed, cfg.seed + cfg.vmap_seeds))
-    S = len(seeds)
+    lrs = list(lrs) if lrs else None
+    rep = [(s, l) for l in (lrs or [cfg.lr]) for s in seeds]
+    S = len(rep)
     assert S >= 1
     if cfg.data_seed is None:
         cfg = cfg.replace(data_seed=cfg.seed)
@@ -81,7 +92,7 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None,
     sample_batch = next(iter(data_obj["train_dataloader"]))
     # mirror trainable()'s chain per replica: key(seed) -> split -> init
     rngs, params_l, stats_l = [], [], []
-    for s in seeds:
+    for s, _ in rep:
         rng = jax.random.key(s, impl=cfg.rng_impl)
         rng, init_rng = jax.random.split(rng)
         p, st = init_state(cfg, model, fusion, sample_batch, init_rng)
@@ -92,8 +103,16 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None,
     stats = _stack_trees(stats_l)
     rng = jnp.stack(rngs)
 
-    tx = make_optimizer(cfg.lr, cfg.w_decay, clip_norm=1.0)
+    tx = make_optimizer(cfg.lr, cfg.w_decay, clip_norm=1.0,
+                        inject_lr=bool(lrs))
     opt_state = jax.vmap(tx.init)(params)
+    if lrs:
+        # overwrite the (vmap-broadcast) stacked lr leaf with the grid's
+        # per-replica values — each replica's update then scales by its own lr
+        per_lr = jnp.asarray([l for _, l in rep],
+                             opt_state.hyperparams["lr"].dtype)
+        opt_state = opt_state._replace(
+            hyperparams={**opt_state.hyperparams, "lr": per_lr})
 
     forward = make_forward(cfg, model, fusion)
 
@@ -283,9 +302,9 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None,
                 )
                 last_loss = np.asarray(loss)
         if np.isnan(last_loss).any():
-            bad = [seeds[i] for i in np.nonzero(np.isnan(last_loss))[0]]
+            bad = [rep[i] for i in np.nonzero(np.isnan(last_loss))[0]]
             raise FloatingPointError(
-                f"NaN loss at epoch {itr} for seeds {bad} "
+                f"NaN loss at epoch {itr} for (seed, lr) replicas {bad} "
                 f"(model={cfg.model}, dataset={cfg.dataset})"
             )
         val = _eval_split(params, stats, "val")
@@ -322,7 +341,8 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None,
 
             shuffler = _find_shuffler(data_obj["train_dataloader"])
             meta = dict(
-                epoch=itr, seeds=seeds,
+                epoch=itr, seeds=[s for s, _ in rep],
+                lrs=[l for _, l in rep] if lrs else None,
                 best_val=best_val.tolist(), best_iter=best_iter.tolist(),
                 no_improve=no_improve.tolist(), test_res=test_res,
                 history=history,
@@ -344,7 +364,9 @@ def train_seed_sweep(cfg: Config, seeds=None, data_obj: dict | None = None,
     for i in range(S):
         r = dict(test_res[i] if test_res[i] is not None else val[i])
         r["best_iter"] = int(best_iter[i])
-        r["seed"] = seeds[i]
+        r["seed"] = rep[i][0]
+        if lrs:
+            r["lr"] = rep[i][1]
         r["history"] = history[i]
         out.append(r)
     return out

@@ -26,6 +26,7 @@ from imm_tsf_tpu.utils.logging import get_logger, log_path_for
 _OPT_INT_FLAGS = {"npatch", "patch_stride", "llm_layers_fusion",
                   "cru_lsd", "cru_hidden_units"}
 _OPT_FLOAT_FLAGS = {"unit_scale"}
+_TUPLE_FLOAT_FLAGS = {"vmap_lrs"}
 _TUPLE_INT_FLAGS = {"mesh_shape", "cru_trans_net_hidden_units"}
 _TUPLE_STR_FLAGS = {"mesh_axis_names", "rec_ids"}  # rec_ids: entity dir names
                   # (reference lib/parse_datasets.py:80-87)
@@ -40,6 +41,8 @@ def get_args_from_parser(argv=None) -> Config:
         val = getattr(default, f.name)
         if f.name in _TUPLE_INT_FLAGS:
             parser.add_argument(name, type=int, nargs="*", default=val)
+        elif f.name in _TUPLE_FLOAT_FLAGS:
+            parser.add_argument(name, type=float, nargs="*", default=val)
         elif f.name in _TUPLE_STR_FLAGS:
             parser.add_argument(name, type=str, nargs="*", default=val)
         elif isinstance(val, bool):
@@ -57,7 +60,7 @@ def get_args_from_parser(argv=None) -> Config:
             parser.add_argument(name, type=str, default=val)
     ns = parser.parse_args(argv)
     kw = {f.name: getattr(ns, f.name) for f in dataclasses.fields(Config)}
-    for tup_field in _TUPLE_INT_FLAGS | _TUPLE_STR_FLAGS:
+    for tup_field in _TUPLE_INT_FLAGS | _TUPLE_FLOAT_FLAGS | _TUPLE_STR_FLAGS:
         v = kw.get(tup_field)
         if isinstance(v, list):
             kw[tup_field] = tuple(v)
@@ -87,19 +90,19 @@ def main(argv=None):
     logger.info("ExpID %s | %s", experiment_id, " ".join(sys.argv))
     logger.info(cfg.to_json())
 
-    if cfg.vmap_seeds > 1:
-        # N seed replicas trained in ONE vmapped program (sweep-throughput
-        # mode; training/vmap_sweep.py)
+    if cfg.vmap_seeds > 1 or cfg.vmap_lrs:
+        # (seeds x lrs) replica grid trained in ONE vmapped program
+        # (sweep-throughput mode; training/vmap_sweep.py)
         from imm_tsf_tpu.training.vmap_sweep import train_seed_sweep
 
         results = train_seed_sweep(
-            cfg,
+            cfg, lrs=cfg.vmap_lrs or None,
             checkpoint_dir=f"{cfg.save.rstrip('/')}/experiment_{experiment_id}",
         )
         for r in results:
             printable = {k: v for k, v in r.items()
                          if k in ("loss", "mse", "mae", "rmse", "mape",
-                                  "best_iter", "seed")}
+                                  "best_iter", "seed", "lr")}
             logger.info("Final test metrics: %s", json.dumps(printable))
             print(json.dumps(printable))
         return results
