@@ -267,12 +267,15 @@ def _trainable_e2e(n_devices: int) -> None:
 
         sweep = train_seed_sweep(
             Config(**base, mesh_shape=(n_devices,), device_loop=True),
-            seeds=list(range(1, n_devices + 1)),
+            seeds=list(range(1, n_devices // 2 + 1)),
+            lrs=[1e-3, 1e-2],  # (seeds x lrs) grid: the per-replica lr leaf
+            # in the vmapped opt_state is itself replica-axis sharded
         )
         assert len(sweep) == n_devices
         assert all(np.isfinite(r["mse"]) and r["mse"] > 0 for r in sweep)
-        print(f"  dryrun[vmap-seeds-sharded]({n_devices} devices): "
-              f"{n_devices} replicas, mse="
+        assert {r["lr"] for r in sweep} == {1e-3, 1e-2}
+        print(f"  dryrun[vmap-grid-sharded]({n_devices} devices): "
+              f"{n_devices} (seed, lr) replicas, mse="
               f"{[round(r['mse'], 4) for r in sweep[:3]]}... OK", flush=True)
 
 
