@@ -50,6 +50,27 @@ def test_lr_grid_resident(synth_root):
         np.testing.assert_allclose(rs["mse"], rr["mse"], rtol=2e-4)
 
 
+def test_lr_grid_resume_equals_uninterrupted(synth_root, tmp_path):
+    """Checkpoint/resume for the lr grid: the per-replica lr leaf lives in
+    the (orbax-checkpointed) opt_state hyperparams and must restore
+    bit-exactly along with the rest of the stacked train state."""
+    cfg = _base(synth_root, epoch=4, patience=4, device_loop=True)
+    grid = dict(seeds=[1], lrs=[1e-3, 1e-2])
+    full = train_seed_sweep(cfg, **grid,
+                            checkpoint_dir=str(tmp_path / "full"))
+
+    train_seed_sweep(cfg.replace(epoch=2), **grid,
+                     checkpoint_dir=str(tmp_path / "res"))
+    resumed = train_seed_sweep(cfg.replace(load="resume"), **grid,
+                               checkpoint_dir=str(tmp_path / "res"))
+
+    for rf, rr in zip(full, resumed):
+        assert rr["best_iter"] == rf["best_iter"], rf["lr"]
+        for k in ("mse", "mae", "rmse"):
+            np.testing.assert_allclose(rr[k], rf[k], rtol=0, atol=0,
+                                       err_msg=f"lr {rf['lr']} {k}")
+
+
 def test_lrs_actually_differ(synth_root):
     """Replicas with different lrs must diverge after the first update
     (the recorded train loss is pre-update, so compare post-update eval)."""
