@@ -35,7 +35,8 @@ from imm_tsf_tpu.utils.table import Table
 
 
 def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
-                    data_root, epoch, results_dir: Path, seeds: int = 1):
+                    data_root, epoch, results_dir: Path, seeds: int = 1,
+                    lrs=None):
     data_name, model_name, enable_text, TTF_module, MMF_module = combo
     result_filename = (
         f"{data_name}_{model_name}_enable_text={enable_text}"
@@ -69,16 +70,26 @@ def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
 
     t0 = time.time()
     seed_metrics = None
-    if seeds > 1:
-        # N seed replicas in ONE vmapped program (training/vmap_sweep.py);
-        # the primary metrics are the base seed's, per-seed results attached
+    if seeds > 1 or lrs:
+        # (seeds x lrs) replica grid in ONE vmapped program
+        # (training/vmap_sweep.py). Primary metrics: with an lr grid, the
+        # replica with the best VALIDATION mse (model selection on val, as
+        # the reference tunes tunable_params); otherwise the base seed's.
         from imm_tsf_tpu.training.vmap_sweep import train_seed_sweep
 
-        results = train_seed_sweep(cfg.replace(vmap_seeds=seeds))
-        best_metrics = results[0]
+        results = train_seed_sweep(cfg.replace(vmap_seeds=seeds), lrs=lrs)
+        if lrs:
+            best_metrics = min(
+                results,
+                key=lambda r: min((h["val"]["mse"] for h in r["history"]),
+                                  default=r["mse"]),
+            )
+        else:
+            best_metrics = results[0]
         seed_metrics = [
             {k: v for k, v in r.items()
-             if k in ("loss", "mse", "mae", "rmse", "mape", "best_iter", "seed")}
+             if k in ("loss", "mse", "mae", "rmse", "mape", "best_iter",
+                      "seed", "lr")}
             for r in results
         ]
     else:
@@ -91,7 +102,8 @@ def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
         "TTF_module": TTF_module,
         "MMF_module": MMF_module,
         "metrics": {k: v for k, v in best_metrics.items()
-                    if k in ("loss", "mse", "mae", "rmse", "mape", "best_iter")},
+                    if k in ("loss", "mse", "mae", "rmse", "mape",
+                             "best_iter", "lr")},
     }
     if seed_metrics is not None:
         result_data["seed_metrics"] = seed_metrics
@@ -133,6 +145,10 @@ def main(argv=None):
                     help="train N seed replicas per combo in one vmapped "
                          "program (training/vmap_sweep.py); per-seed "
                          "metrics land in the result JSON")
+    ap.add_argument("--lrs", nargs="+", type=float, default=None,
+                    help="stack a learning-rate grid onto the vmapped "
+                         "replicas; the result's primary metrics come from "
+                         "the best-val-mse replica, full grid attached")
     ap.add_argument("--worker_platform", choices=["cpu", "tpu"], default="cpu",
                     help="accelerator for --parallel workers: cpu (default; "
                          "safe with one chip) or tpu (one chip per worker "
@@ -188,7 +204,7 @@ def main(argv=None):
                 pool.submit(
                     run_combination, c, args.batch_size, args.llm_model_fusion,
                     bool(args.use_text_embeddings), args.data_root, args.epoch,
-                    results_dir, args.seeds,
+                    results_dir, args.seeds, args.lrs,
                 ): c
                 for c in combinations
             }
@@ -213,7 +229,7 @@ def main(argv=None):
             status, dt = run_combination(
                 c, args.batch_size, args.llm_model_fusion,
                 bool(args.use_text_embeddings), args.data_root, args.epoch,
-                results_dir, seeds=args.seeds,
+                results_dir, seeds=args.seeds, lrs=args.lrs,
             )
             run_times.append((" | ".join(map(str, c)), dt))
 
