@@ -153,11 +153,15 @@ def main(argv=None):
                     help="accelerator for --parallel workers: cpu (default; "
                          "safe with one chip) or tpu (one chip per worker "
                          "via TPU_VISIBLE_DEVICES round-robin)")
+    ap.add_argument("--ttf", nargs="+", default=list(TTF_MODULES),
+                    help="restrict the TTF modules swept for text-on combos")
+    ap.add_argument("--mmf", nargs="+", default=list(MMF_MODULES),
+                    help="restrict the MMF modules swept for text-on combos")
     args = ap.parse_args(argv)
 
     combinations = list(product(
         args.datasets, args.models, [bool(x) for x in args.enable_text],
-        TTF_MODULES, MMF_MODULES,
+        args.ttf, args.mmf,
     ))
     # skip non-default fusion when text is off (:109-117)
     combinations = [
