@@ -241,8 +241,13 @@ def main():
     # re-measure live instead.
     if os.environ.get("IMM_TSF_MEASURE_BASELINE"):
         ref = bench_torch_reference(batch, steps=10, model_name="PatchTST")
+        baseline_mode = "live"
     else:
         ref = 21.25
+        baseline_mode = "frozen-2026-08-17"
+    print(f"# torch-CPU baseline denominator: {ref:.2f} windows/s "
+          f"({baseline_mode}; IMM_TSF_MEASURE_BASELINE=1 re-measures on "
+          f"this host)", file=sys.stderr)
     vs = ours / ref if ref else float("nan")
     u = mfu(ours, flops_per_step, B)
     out = {

@@ -274,6 +274,45 @@ class _EmbedNotesLoader:
             yield batch
 
 
+def make_loader_wrappers(cfg):
+    """Host-side loader stages a run needs, as loader->loader callables
+    (outermost last): raw-text note embedding (_EmbedNotesLoader) and
+    TimeLLM exact prompts (_TimeLLMPromptLoader). Shared by trainable(),
+    train_seed_sweep() and predict.py so every execution path feeds the
+    models identically. Apply ONCE to a fresh parse_datasets() output."""
+    wrappers = []
+    if cfg.enable_text and not cfg.use_text_embeddings:
+        from ..llm.loader import load_llm, resolve_llm_mesh
+
+        llm, llm_params, tokenizer = load_llm(
+            cfg.llm_model_fusion, cfg.llm_layers_fusion
+        )
+        llm_mesh = resolve_llm_mesh(cfg.llm_model_fusion, cfg.llm_tp)
+        wrappers.append(lambda ld: _EmbedNotesLoader(
+            ld, llm, llm_params, tokenizer, cfg.max_length,
+            llm_mesh=llm_mesh,
+        ))
+    if cfg.model == "TimeLLM" and cfg.timellm_exact_prompt:
+        # reference-exact prompt mode: host-side stats->text->tokenize per
+        # batch (models/TimeLLM.py:168-195) as a loader stage
+        from ..llm.loader import load_tokenizer
+
+        alias = {"GPT2": "GPT2", "BERT": "BERT", "LLAMA": "Llama"}[
+            cfg.llm_model_timellm]
+        prompt_tok = load_tokenizer(alias)
+        wrappers.append(lambda ld: _TimeLLMPromptLoader(ld, cfg, prompt_tok))
+    return wrappers
+
+
+def wrap_data_loaders(cfg, data_obj):
+    """Install make_loader_wrappers(cfg) on all three split loaders."""
+    for wrap in make_loader_wrappers(cfg):
+        for split in ("train_dataloader", "val_dataloader", "test_dataloader"):
+            if data_obj[split] is not None:
+                data_obj[split] = wrap(data_obj[split])
+    return data_obj
+
+
 class _TimeLLMPromptLoader:
     """Adds host-built reference-exact TimeLLM prompt ids to each batch
     (cfg.timellm_exact_prompt; see models/timellm.py
@@ -321,32 +360,7 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
             logger.warning("--gpu %d requested but only %d device(s) visible",
                            cfg.gpu, len(devs))
 
-    if cfg.enable_text and not cfg.use_text_embeddings:
-        from ..llm.loader import load_llm, resolve_llm_mesh
-
-        llm, llm_params, tokenizer = load_llm(
-            cfg.llm_model_fusion, cfg.llm_layers_fusion
-        )
-        llm_mesh = resolve_llm_mesh(cfg.llm_model_fusion, cfg.llm_tp)
-        for split in ("train_dataloader", "val_dataloader", "test_dataloader"):
-            if data_obj[split] is not None:
-                data_obj[split] = _EmbedNotesLoader(
-                    data_obj[split], llm, llm_params, tokenizer, cfg.max_length,
-                    llm_mesh=llm_mesh,
-                )
-
-    if cfg.model == "TimeLLM" and cfg.timellm_exact_prompt:
-        # reference-exact prompt mode: host-side stats->text->tokenize per
-        # batch (models/TimeLLM.py:168-195) as a loader stage
-        from ..llm.loader import load_tokenizer
-
-        alias = {"GPT2": "GPT2", "BERT": "BERT", "LLAMA": "Llama"}[
-            cfg.llm_model_timellm]
-        prompt_tok = load_tokenizer(alias)
-        for split in ("train_dataloader", "val_dataloader", "test_dataloader"):
-            if data_obj[split] is not None:
-                data_obj[split] = _TimeLLMPromptLoader(
-                    data_obj[split], cfg, prompt_tok)
+    data_obj = wrap_data_loaders(cfg, data_obj)
 
     model = get_model(cfg)
     fusion = None

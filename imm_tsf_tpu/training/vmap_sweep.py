@@ -79,7 +79,14 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
     cfg = cfg.replace(rng_impl="threefry2x32")
     if data_obj is None:
         data_obj = parse_datasets(cfg, verbose=False)
-    cfg = data_obj["cfg"]
+    # re-pin after adopting the data_obj's cfg: a caller-prebuilt data_obj
+    # may carry the default 'rbg' impl, which would silently break the
+    # replica==serial contract (and mis-wrap resumed key data below)
+    cfg = data_obj["cfg"].replace(rng_impl="threefry2x32")
+    from .trainer import wrap_data_loaders
+
+    data_obj = wrap_data_loaders(cfg, data_obj)  # raw-text embedding /
+    # TimeLLM exact-prompt stages — same loader contract as trainable()
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
 
     model = get_model(cfg)
@@ -249,6 +256,7 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
     best_val = np.full(S, np.inf)
     best_iter = np.full(S, -1)
     no_improve = np.zeros(S, int)
+    failed = np.zeros(S, bool)  # replicas that diverged to NaN
     test_res: list = [None] * S
     history: list = [[] for _ in range(S)]
     start_epoch = 0
@@ -266,6 +274,7 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
             best_val = np.asarray(meta["best_val"], np.float64)
             best_iter = np.asarray(meta["best_iter"], int)
             no_improve = np.asarray(meta["no_improve"], int)
+            failed = np.asarray(meta.get("failed", [False] * S), bool)
             test_res = meta["test_res"]
             history = meta["history"]
             rng = jax.vmap(
@@ -301,10 +310,25 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
                     params, stats, opt_state, dev, step_rng
                 )
                 last_loss = np.asarray(loss)
-        if np.isnan(last_loss).any():
-            bad = [rep[i] for i in np.nonzero(np.isnan(last_loss))[0]]
+        # a NaN in one replica must not destroy the grid: freeze that
+        # replica's bookkeeping (its pre-divergence best/test results
+        # stand, exactly what the serial protocol would have kept had the
+        # run stopped there) and keep training the rest. NaNs in replicas
+        # that already early-stopped are ignored outright — their results
+        # are locked. Raise only when every replica has diverged.
+        nan_now = np.isnan(last_loss) & (no_improve < cfg.patience) & ~failed
+        if nan_now.any():
+            bad = [rep[i] for i in np.nonzero(nan_now)[0]]
+            logger.warning(
+                "NaN loss at epoch %d for (seed, lr) replicas %s "
+                "(model=%s, dataset=%s) — freezing them, continuing the rest",
+                itr, bad, cfg.model, cfg.dataset,
+            )
+            failed |= nan_now
+            no_improve[nan_now] = cfg.patience
+        if failed.all():
             raise FloatingPointError(
-                f"NaN loss at epoch {itr} for (seed, lr) replicas {bad} "
+                f"all replicas diverged to NaN by epoch {itr} "
                 f"(model={cfg.model}, dataset={cfg.dataset})"
             )
         val = _eval_split(params, stats, "val")
@@ -345,7 +369,7 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
                 lrs=[l for _, l in rep] if lrs else None,
                 best_val=best_val.tolist(), best_iter=best_iter.tolist(),
                 no_improve=no_improve.tolist(), test_res=test_res,
-                history=history,
+                failed=failed.tolist(), history=history,
                 rng=np.asarray(jax.random.key_data(rng)).tolist(),
                 data_rng_state=(shuffler._rng.bit_generator.state
                                 if shuffler is not None else None),
@@ -367,6 +391,8 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
         r["seed"] = rep[i][0]
         if lrs:
             r["lr"] = rep[i][1]
+        if failed[i]:
+            r["diverged"] = True
         r["history"] = history[i]
         out.append(r)
     return out

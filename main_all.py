@@ -159,15 +159,17 @@ def main(argv=None):
                     help="restrict the MMF modules swept for text-on combos")
     args = ap.parse_args(argv)
 
-    combinations = list(product(
-        args.datasets, args.models, [bool(x) for x in args.enable_text],
-        args.ttf, args.mmf,
-    ))
-    # skip non-default fusion when text is off (:109-117)
-    combinations = [
-        c for c in combinations
-        if c[2] or (c[3] == "TTF_RecAvg" and c[4] == "MMF_GR_Add")
-    ]
+    # text-on combos sweep the (restricted) fusion matrix; text-off runs
+    # exactly once per (dataset, model) with the default pair — the
+    # reference's skip rule (:109-117), robust to --ttf/--mmf restrictions
+    combinations = []
+    for d, m, et in product(args.datasets, args.models,
+                            [bool(x) for x in args.enable_text]):
+        if et:
+            combinations.extend(
+                (d, m, True, t, f) for t, f in product(args.ttf, args.mmf))
+        else:
+            combinations.append((d, m, False, "TTF_RecAvg", "MMF_GR_Add"))
 
     results_dir = Path(args.results_dir)
     run_times = []

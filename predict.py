@@ -81,17 +81,13 @@ def main(argv=None):
     loader = data_obj[f"{pre_args.split}_dataloader"]
     if loader is None:
         raise SystemExit(f"split {pre_args.split!r} is empty for this dataset")
-    if cfg.enable_text and not cfg.use_text_embeddings:
-        # raw-text fusion: embed notes on the fly, exactly as trainable()
-        # wraps its loaders (training/trainer.py _EmbedNotesLoader)
-        from imm_tsf_tpu.llm.loader import load_llm
-        from imm_tsf_tpu.training.trainer import _EmbedNotesLoader
+    # host-side loader stages, exactly as trainable() installs them
+    # (raw-text note embedding; TimeLLM exact-prompt ids — without the
+    # latter an exact-prompt checkpoint's param tree wouldn't even match)
+    from imm_tsf_tpu.training.trainer import make_loader_wrappers
 
-        llm, llm_params, tokenizer = load_llm(
-            cfg.llm_model_fusion, cfg.llm_layers_fusion
-        )
-        loader = _EmbedNotesLoader(loader, llm, llm_params, tokenizer,
-                                   cfg.max_length)
+    for wrap in make_loader_wrappers(cfg):
+        loader = wrap(loader)
 
     model = get_model(cfg)
     fusion = FusionModel(cfg) if cfg.enable_text else None

@@ -71,6 +71,43 @@ def test_lr_grid_resume_equals_uninterrupted(synth_root, tmp_path):
                                        err_msg=f"lr {rf['lr']} {k}")
 
 
+def test_sweep_wraps_raw_text_loaders(synth_root):
+    """train_seed_sweep must install the same host-side loader stages as
+    trainable() (wrap_data_loaders): raw-text fusion
+    (use_text_embeddings=False) previously crashed in init_state because
+    batches lacked notes_embeddings."""
+    cfg = _base(synth_root, epoch=2, patience=2, enable_text=True,
+                use_text_embeddings=False, llm_model_fusion="GPT2",
+                llm_layers_fusion=1, TTF_module="TTF_RecAvg",
+                MMF_module="MMF_GR_Add")
+    out = train_seed_sweep(cfg, seeds=[1, 2])
+    for r in out:
+        assert np.isfinite(r["mse"]) and r["mse"] > 0
+    serial = trainable(cfg.replace(seed=1, data_seed=1,
+                                   rng_impl="threefry2x32"))
+    ref = next(r for r in out if r["seed"] == 1)
+    np.testing.assert_allclose(ref["mse"], serial["mse"], rtol=2e-4)
+
+
+def test_nan_replica_freezes_not_kills(synth_root):
+    """A diverging replica (absurd lr) must be frozen with its
+    pre-divergence results kept — not abort the whole grid."""
+    cfg = _base(synth_root, epoch=4, patience=4)
+    out = train_seed_sweep(cfg, seeds=[1], lrs=[1e-3, 1e12])
+    sane = next(r for r in out if r["lr"] == 1e-3)
+    assert np.isfinite(sane["mse"]) and not sane.get("diverged")
+    crazy = next(r for r in out if r["lr"] == 1e12)
+    # the 1e12 replica either diverges (frozen, flagged) or survives with
+    # garbage metrics; if it produced NaN it MUST carry the flag
+    if not np.isfinite(crazy["mse"]):
+        assert crazy.get("diverged")
+    # the sane replica matches its serial run despite the sick neighbor
+    serial = trainable(cfg.replace(seed=1, lr=1e-3, data_seed=1,
+                                   rng_impl="threefry2x32"))
+    assert sane["best_iter"] == serial["best_iter"]
+    np.testing.assert_allclose(sane["mse"], serial["mse"], rtol=2e-4)
+
+
 def test_lrs_actually_differ(synth_root):
     """Replicas with different lrs must diverge after the first update
     (the recorded train loss is pre-update, so compare post-update eval)."""

@@ -71,11 +71,11 @@ def main():
     bad = [r for r in rows
            if not math.isfinite(r["metrics"]["mse"]) or r["metrics"]["mse"] <= 0]
     out = []
+    bad_names = [r["dataset"] + "/" + r["model"] for r in bad]
     out.append(f"Combos completed: **{len(rows)}** "
                f"({len(off)} text-off, {len(on_all)} text-on); "
                f"non-finite/degenerate MSE: **{len(bad)}**"
-               + (f" — {[f'{r['dataset']}/{r['model']}' for r in bad]}"
-                  if bad else ""))
+               + (f" — {bad_names}" if bad else ""))
     out.append("\n### Test MSE, text off (numeric-only)\n")
     out.append(grid_table(off, datasets, models))
     out.append("\n### Test MSE, text on (TTF_RecAvg + MMF_GR_Add, GPT2 embeddings)\n")
