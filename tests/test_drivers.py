@@ -205,6 +205,32 @@ def test_dataset_preset_time_units_e2e(tmp_path, ds, gen_kw):
     assert np.isfinite(res["mse"])
 
 
+def test_predict_timellm_exact_prompt(synth_root, tmp_path):
+    """predict.py must install the _TimeLLMPromptLoader stage for
+    exact-prompt TimeLLM experiments — without it the restored param tree
+    mismatches (fast-path pseudo-token params) and serving fails."""
+    import json
+    import os
+
+    import main as main_mod
+    import predict as predict_mod
+
+    save = str(tmp_path / "ckpts")
+    flags = [
+        "--dataset", "EPA-Air", "--data_root", synth_root,
+        "--model", "TimeLLM", "--timellm_exact_prompt",
+        "--llm_layers_timellm", "1", "--input_token_len", "4",
+        "--d_model", "16", "--d_ff", "32", "--n_heads", "2",
+        "--ts_vocab_size", "32", "--batch_size", "8", "--save", save,
+    ]
+    res = main_mod.main(flags + ["--epoch", "1", "--patience", "1",
+                                 "--seed", "3"])
+    exp = os.listdir(save)[0].split("experiment_")[1]
+    out = predict_mod.main(flags + ["--load", exp,
+                                    "--out", str(tmp_path / "p.npz")])
+    assert abs(out["test_mse"] - res["mse"]) < 1e-6
+
+
 def test_predict_raw_text_fusion(synth_root, tmp_path):
     """predict.py must wrap loaders in _EmbedNotesLoader for raw-text
     fusion experiments (enable_text without precomputed embeddings)."""
