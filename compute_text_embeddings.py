@@ -110,6 +110,9 @@ def compute_text_embeddings(
 
 
 if __name__ == "__main__":
+    from imm_tsf_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--datasets", nargs="+", default=["EPA-Air"])
     ap.add_argument("--llm_model_fusion", default="GPT2")

@@ -80,6 +80,9 @@ tunable_params: dict = {"batch_size": 32}
 
 
 def main(argv=None):
+    from imm_tsf_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     cfg = get_args_from_parser(argv)
     cfg = apply_presets(cfg, fixed_params, tunable_params)
     if cfg.enable_text:

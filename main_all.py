@@ -127,9 +127,16 @@ def _init_worker(platform: str, counter) -> None:
     else:  # tpu: one chip per worker
         os.environ["TPU_VISIBLE_DEVICES"] = str(idx)
         os.environ.setdefault("TPU_PROCESS_BOUNDS", "1,1,1")
+    # after the platform env is pinned (this imports jax)
+    from imm_tsf_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
 
 def main(argv=None):
+    from imm_tsf_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     ap = argparse.ArgumentParser("imm-tsf-tpu sweep")
     ap.add_argument("--datasets", nargs="+", default=list(DATASETS))
     ap.add_argument("--models", nargs="+", default=list(MODELS))

@@ -29,6 +29,9 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/imm_tsf_jax_cache")
 
 
 def main(argv=None):
+    from imm_tsf_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument("--split", choices=["train", "val", "test"], default="test")
