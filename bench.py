@@ -19,18 +19,9 @@ import numpy as np
 
 # persistent compilation cache: repeated bench runs (and the driver's
 # round-end run) skip the multi-minute remote TPU compile
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/imm_tsf_jax_cache")
-
-
-def _enable_compile_cache():
-    import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+from imm_tsf_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_compile_cache as _enable_compile_cache,
+)
 
 
 def build_batch(B=64, L=48, Lp=24, C=8, N=8, d_txt=768, seed=0):

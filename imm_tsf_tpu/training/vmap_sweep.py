@@ -313,7 +313,10 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
         # a NaN in one replica must not destroy the grid: freeze that
         # replica's bookkeeping (its pre-divergence best/test results
         # stand, exactly what the serial protocol would have kept had the
-        # run stopped there) and keep training the rest. NaNs in replicas
+        # run stopped there; a replica that diverges before ANY val
+        # improvement has no snapshot — its row keeps the NaN metrics and
+        # is marked diverged=True so callers exclude it from selection)
+        # and keep training the rest. NaNs in replicas
         # that already early-stopped are ignored outright — their results
         # are locked. Raise only when every replica has diverged.
         nan_now = np.isnan(last_loss) & (no_improve < cfg.patience) & ~failed

@@ -38,10 +38,18 @@ def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
                     data_root, epoch, results_dir: Path, seeds: int = 1,
                     lrs=None):
     data_name, model_name, enable_text, TTF_module, MMF_module = combo
+    # replica grids change what a result file MEANS — key them into the
+    # resume filename so a --seeds/--lrs rerun doesn't cache-hit stale
+    # single-run results (plain runs keep the reference-shaped name)
+    grid_tag = ""
+    if seeds > 1:
+        grid_tag += f"_seeds={seeds}"
+    if lrs:
+        grid_tag += "_lrs=" + ",".join(f"{lr:g}" for lr in lrs)
     result_filename = (
         f"{data_name}_{model_name}_enable_text={enable_text}"
         f"_TTF_module={TTF_module}_MMF_module={MMF_module}"
-        f"_llm_model_fusion={llm_model_fusion}.json"
+        f"_llm_model_fusion={llm_model_fusion}{grid_tag}.json"
     )
     result_path = results_dir / result_filename
     if result_path.exists():  # resume (:150-156)
@@ -79,17 +87,21 @@ def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
 
         results = train_seed_sweep(cfg.replace(vmap_seeds=seeds), lrs=lrs)
         if lrs:
-            best_metrics = min(
-                results,
-                key=lambda r: min((h["val"]["mse"] for h in r["history"]),
-                                  default=r["mse"]),
-            )
+            # select on best val mse, excluding diverged/NaN replicas (a
+            # NaN key would win Python's min() — all comparisons False)
+            def _val_key(r):
+                vals = [h["val"]["mse"] for h in r["history"]
+                        if h["val"]["mse"] == h["val"]["mse"]]  # drop NaN
+                return min(vals) if vals else float("inf")
+
+            healthy = [r for r in results if not r.get("diverged")]
+            best_metrics = min(healthy or results, key=_val_key)
         else:
             best_metrics = results[0]
         seed_metrics = [
             {k: v for k, v in r.items()
              if k in ("loss", "mse", "mae", "rmse", "mape", "best_iter",
-                      "seed", "lr")}
+                      "seed", "lr", "diverged")}
             for r in results
         ]
     else:
@@ -161,8 +173,10 @@ def main(argv=None):
                          "safe with one chip) or tpu (one chip per worker "
                          "via TPU_VISIBLE_DEVICES round-robin)")
     ap.add_argument("--ttf", nargs="+", default=list(TTF_MODULES),
+                    choices=list(TTF_MODULES),
                     help="restrict the TTF modules swept for text-on combos")
     ap.add_argument("--mmf", nargs="+", default=list(MMF_MODULES),
+                    choices=list(MMF_MODULES),
                     help="restrict the MMF modules swept for text-on combos")
     args = ap.parse_args(argv)
 

@@ -25,8 +25,6 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/imm_tsf_jax_cache")
-
 
 def main(argv=None):
     from imm_tsf_tpu.utils.compile_cache import enable_persistent_compile_cache
@@ -50,13 +48,6 @@ def main(argv=None):
         pre.error("predict.py requires --load <ExpID> (a trained experiment)")
 
     import jax
-
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.environ["JAX_COMPILATION_CACHE_DIR"])
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
 
     if cfg.gpu and not cfg.mesh_shape:
         # same single-chip device pin as trainable() (reference --gpu N =

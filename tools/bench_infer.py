@@ -28,7 +28,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _enable_compile_cache, build_batch  # noqa: E402
+from bench import build_batch  # noqa: E402
+from imm_tsf_tpu.utils.compile_cache import (  # noqa: E402
+    enable_persistent_compile_cache as _enable_compile_cache,
+)
 
 
 def make_cfg(model: str, fusion: bool, B: int, L=48, Lp=24, C=8):
@@ -81,9 +84,13 @@ def bench_latency(cfg, batch, requests=50):
     np.asarray(infer(params, stats, dev))  # compile
     lats = []
     for i in range(requests):
-        # vary an input each request so the runtime cannot cache-serve
+        # vary an input each request so the runtime cannot cache-serve;
+        # value-fence the perturbation BEFORE t0 so its device execution
+        # doesn't land inside the timed window (measurement discipline:
+        # docs/BENCHMARKS.md, value fences not block_until_ready)
         dev2 = dict(dev)
         dev2["observed_data"] = dev["observed_data"] + np.float32(1e-6 * i)
+        np.asarray(dev2["observed_data"][0, 0, 0])
         t0 = time.perf_counter()
         np.asarray(infer(params, stats, dev2))
         lats.append(time.perf_counter() - t0)
