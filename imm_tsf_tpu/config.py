@@ -413,6 +413,22 @@ def apply_presets(
     return cfg
 
 
+def load_saved_config(path: str) -> Config:
+    """Restore a Config from the `config.json` trainable() writes next to
+    an experiment's checkpoints. Tuple-typed fields come back from JSON as
+    lists and are re-tupled; unknown keys (from older/newer versions) are
+    ignored so checkpoints stay loadable across config evolution."""
+    with open(path) as f:
+        d = json.load(f)
+    names = {f.name for f in dataclasses.fields(Config)}
+    kw = {}
+    for k, v in d.items():
+        if k not in names:
+            continue
+        kw[k] = tuple(v) if isinstance(v, list) else v
+    return Config(**kw)
+
+
 def derive_npatch(history: int, patch_size: int, stride: int) -> int:
     """npatch = ceil((history - patch_size)/stride) + 1, clamped >= 1
     (reference main.py:748-750; the single implementation shared by the

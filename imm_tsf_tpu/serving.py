@@ -1,0 +1,322 @@
+"""Online forecasting service: micro-batched inference on a trained
+experiment.
+
+The reference stops at training metrics; this module completes the
+production-serving path the task mandates. A `ForecastService` restores
+an experiment from its checkpoint directory (weights + the resolved
+`config.json` trainable() persists), compiles ONE static-shape jitted
+forward (batch padded to `max_batch`, obs/pred axes padded to the
+training-time ceilings — XLA never recompiles per request), and serves
+ragged client requests through the exact collate machinery the trainer
+used (`data/collate.py`), so every model family — standard, CRU, ODE
+and patch collates, with or without text fusion — is servable.
+
+Requests are micro-batched: a background thread coalesces concurrent
+requests for up to `max_wait_ms` (or until `max_batch`), pads them into
+one device dispatch, and fans results back out. This is the
+TPU-idiomatic serving shape: static shapes + batching amortize the
+per-dispatch latency (~2 ms through a tunnel) across requests.
+
+Instance schema (all lists / nested lists, JSON-friendly):
+  observed_tp    [n]     chunk-relative times in [0, history)
+  observed_data  [n, D]  values; NaN/null = missing (mask derived)
+  observed_mask  [n, D]  optional explicit mask (overrides NaN detection)
+  tp_to_predict  [m]     requested forecast times in [history, history+pred_window]
+  notes          optional list of {"tau": t, "embedding": [d_txt]} or
+                 {"tau": t, "text": "..."} (raw text is embedded through
+                 the service's frozen LLM, with the trainer's note cache)
+  mean, std      optional [D] per-record stats: inputs are z-scored with
+                 them and predictions de-normalized back. Without them
+                 the service assumes model (z-scored) space, matching the
+                 training data contract (reference lib/parse_datasets.py:103-111).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+
+from .config import Config, load_saved_config
+from .data import collate as C
+from .data.dataset import Chunk
+from .data.loader import _pad_batch_dim
+
+
+class _OneBatchProxy:
+    """A 1-batch loader so trainable()'s loader stages (raw-text note
+    embedding, TimeLLM exact prompts) can be constructed once and reused
+    per request — their caches survive across requests."""
+
+    def __init__(self):
+        self.batch = None
+
+    def __len__(self):
+        return 1
+
+    def __iter__(self):
+        yield self.batch
+
+
+def _build_chunk(inst: dict, cfg: Config, d_txt: int) -> tuple[Chunk, np.ndarray, np.ndarray]:
+    """Validate one request instance -> (Chunk, mean, std)."""
+    tt = np.asarray(inst["observed_tp"], dtype=np.float32)
+    vals = np.asarray(inst["observed_data"], dtype=np.float32)
+    if vals.ndim != 2 or len(tt) != len(vals):
+        raise ValueError("observed_data must be [n, D] aligned with observed_tp")
+    D = vals.shape[1]
+    if D != cfg.input_dim:
+        raise ValueError(f"expected {cfg.input_dim} features, got {D}")
+    if "observed_mask" in inst and inst["observed_mask"] is not None:
+        mask = np.asarray(inst["observed_mask"], dtype=np.float32)
+    else:
+        mask = np.isfinite(vals).astype(np.float32)
+    vals = np.nan_to_num(vals, nan=0.0)
+    tp_pred = np.asarray(inst["tp_to_predict"], dtype=np.float32)
+    if len(tt) > cfg.input_len:
+        raise ValueError(
+            f"{len(tt)} observed points exceed the experiment's input_len "
+            f"{cfg.input_len} (the static ceiling it was trained with)")
+    if len(tp_pred) > cfg.pred_len:
+        raise ValueError(
+            f"{len(tp_pred)} forecast points exceed pred_len {cfg.pred_len}")
+    if len(tp_pred) == 0:
+        raise ValueError("tp_to_predict is empty")
+    if (tt >= cfg.history).any():
+        raise ValueError(f"observed_tp must lie in [0, history={cfg.history})")
+    if (tp_pred < cfg.history).any():
+        raise ValueError(
+            f"tp_to_predict must lie at/after history={cfg.history}")
+
+    mean = std = None
+    if inst.get("mean") is not None:
+        mean = np.asarray(inst["mean"], dtype=np.float32).reshape(1, D)
+        std = np.asarray(inst["std"] if inst.get("std") is not None
+                         else np.ones(D), dtype=np.float32).reshape(1, D)
+        std = np.where(std == 0, 1.0, std)  # sigma=0 -> center only
+        vals = (vals - mean) / std * mask
+
+    # notes -> chunk payloads
+    note_times, payloads = [], []
+    for note in inst.get("notes") or []:
+        note_times.append(np.float32(note["tau"]))
+        if "embedding" in note:
+            if not cfg.use_text_embeddings:
+                raise ValueError(
+                    "this experiment embeds raw text at runtime "
+                    "(use_text_embeddings=false): send notes as "
+                    '{"tau", "text"}')
+            emb = np.asarray(note["embedding"], dtype=np.float32)
+            if emb.shape != (d_txt,):
+                raise ValueError(f"note embedding must be [{d_txt}]")
+            payloads.append(emb)
+        else:
+            if cfg.use_text_embeddings:
+                raise ValueError(
+                    "this experiment was trained on precomputed note "
+                    'embeddings: send notes as {"tau", "embedding"}')
+            payloads.append(str(note["text"]))
+    if cfg.enable_text and not payloads:
+        # the data contract drops no-text chunks (lib/parse_datasets.py:217-221);
+        # at serving time an empty-notes request is legal — the fusion
+        # modules handle the no-note sample path (M_txt=0 -> identity)
+        pass
+
+    # pred rows: requested times with dummy values and mask=1 — the mask
+    # marks which batch slots belong to this instance (the gather key for
+    # union-axis collates); values are never read at inference
+    order = np.argsort(tt, kind="stable")
+    tt_all = np.concatenate([tt[order], np.sort(tp_pred)])
+    vals_all = np.concatenate([vals[order], np.zeros((len(tp_pred), D), np.float32)])
+    mask_all = np.concatenate([mask[order], np.ones((len(tp_pred), D), np.float32)])
+    chunk = Chunk(
+        chunk_id="request_chunk0",
+        tt=tt_all, vals=vals_all, mask=mask_all,
+        note_times=np.asarray(note_times, dtype=np.float32),
+        note_payloads=payloads,
+    )
+    return chunk, mean, std
+
+
+class ForecastService:
+    """Restores one experiment and serves micro-batched forecasts.
+
+    Use `forecast(instances)` for a synchronous call, `submit(instance)`
+    for a Future-based async call, and `close()` to stop the batcher.
+    """
+
+    def __init__(self, checkpoint_dir: str, cfg: Config | None = None,
+                 max_batch: int = 32, max_wait_ms: float = 5.0):
+        if cfg is None:
+            cfg = load_saved_config(os.path.join(checkpoint_dir, "config.json"))
+        self.cfg = cfg
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+
+        import jax
+
+        from .fusion.fusion_model import FusionModel
+        from .models import get_model
+        from .training.checkpoint import load_checkpoint
+        from .training.trainer import init_state, make_forward, make_loader_wrappers
+
+        self._jax = jax
+        d_txt = 0
+        if cfg.enable_text:
+            # same resolution rule as FusionModel (fusion/fusion_model.py):
+            # explicit cfg.d_txt wins, else the fusion LLM's hidden size
+            if cfg.d_txt is not None:
+                d_txt = cfg.d_txt
+            else:
+                from .llm.loader import get_d_model
+
+                d_txt = get_d_model(cfg.llm_model_fusion)
+        self.d_txt = d_txt
+        self.time_max = float(cfg.history + cfg.pred_window)
+
+        model = get_model(cfg)
+        fusion = FusionModel(cfg) if cfg.enable_text else None
+
+        # loader stages (raw-text embedding w/ cache, TimeLLM prompts),
+        # constructed ONCE over a single-batch proxy
+        self._proxy = _OneBatchProxy()
+        stage = self._proxy
+        for wrap in make_loader_wrappers(cfg):
+            stage = wrap(stage)
+        self._stage_top = stage
+
+        # init param templates from a dummy request, then restore weights
+        dummy = self._collate([self._dummy_chunk()])
+        params, stats = init_state(cfg, model, fusion, dummy, jax.random.PRNGKey(0))
+        self.params, self.stats, self.step = load_checkpoint(
+            os.path.join(checkpoint_dir, "best"), params, stats)
+
+        fwd = make_forward(cfg, model, fusion)
+        self._infer_fn = jax.jit(
+            lambda p, s, b: fwd(p, s, b, False, None)[0])
+
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- data
+    def _dummy_chunk(self) -> Chunk:
+        cfg, D = self.cfg, self.cfg.input_dim
+        n, m = min(4, cfg.input_len), min(2, cfg.pred_len)
+        tt = np.linspace(0, cfg.history * 0.9, n, dtype=np.float32)
+        tp = np.linspace(cfg.history, self.time_max, m, dtype=np.float32)
+        payloads: list = []
+        note_times = np.zeros(0, np.float32)
+        if cfg.enable_text:
+            note_times = np.asarray([0.0], np.float32)
+            payloads = ([np.zeros(self.d_txt, np.float32)]
+                        if cfg.use_text_embeddings else ["service warmup note"])
+        return Chunk(
+            chunk_id="warmup_chunk0",
+            tt=np.concatenate([tt, tp]),
+            vals=np.zeros((n + m, D), np.float32),
+            mask=np.ones((n + m, D), np.float32),
+            note_times=note_times, note_payloads=payloads,
+        )
+
+    def _collate(self, chunks: list[Chunk]) -> dict:
+        cfg = self.cfg
+        if cfg.model == "tPatchGNN":
+            out = C.patch_collate(chunks, cfg.history, self.time_max,
+                                  cfg.pred_len, cfg.patch_size,
+                                  cfg.patch_stride, cfg.npatch)
+        elif cfg.model == "CRU":
+            out = C.cru_collate(chunks, cfg.history, self.time_max,
+                                cfg.input_len, cfg.pred_len)
+        elif cfg.model == "LatentODE":
+            out = C.ode_collate(chunks, cfg.history, self.time_max)
+        else:
+            out = C.standard_collate(chunks, cfg.history, self.time_max,
+                                     cfg.input_len, cfg.pred_len)
+        n_notes = max([len(c.note_times) for c in chunks], default=0)
+        n_notes = C.pad_to_bucket(max(n_notes, 1)) if cfg.enable_text else 0
+        out = C.add_multimodal(out, chunks, cfg.enable_text,
+                               cfg.use_text_embeddings, n_notes, self.d_txt)
+        out = _pad_batch_dim(out, len(chunks), self.max_batch)
+        self._proxy.batch = out
+        return next(iter(self._stage_top))
+
+    # -------------------------------------------------------------- api
+    def submit(self, instance: dict) -> Future:
+        if self._closed:
+            raise RuntimeError("service is closed")
+        fut: Future = Future()
+        self._q.put((instance, fut))
+        return fut
+
+    def forecast(self, instances: list[dict]) -> list[dict]:
+        futs = [self.submit(i) for i in instances]
+        return [f.result() for f in futs]
+
+    def close(self):
+        self._closed = True
+        self._q.put(None)
+        self._worker.join(timeout=10)
+
+    # ------------------------------------------------------------ worker
+    def _loop(self):
+        import time as _time
+
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            batch = [item]
+            deadline = _time.monotonic() + self.max_wait_s
+            while len(batch) < self.max_batch:
+                rem = deadline - _time.monotonic()
+                if rem <= 0:
+                    break
+                try:
+                    nxt = self._q.get(timeout=rem)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._run(batch)
+                    return
+                batch.append(nxt)
+            self._run(batch)
+
+    def _run(self, batch):
+        try:
+            results = self._infer([inst for inst, _ in batch])
+            for (_, fut), res in zip(batch, results):
+                fut.set_result(res)
+        except Exception as e:  # fan the failure out; keep serving
+            for _, fut in batch:
+                if not fut.done():
+                    fut.set_exception(e)
+
+    # ----------------------------------------------------------- compute
+    def _infer(self, instances: list[dict]) -> list[dict]:
+        jnp = self._jax.numpy
+        built = [_build_chunk(inst, self.cfg, self.d_txt) for inst in instances]
+        chunks = [b[0] for b in built]
+        out = self._collate(chunks)
+        dev = {k: jnp.asarray(v) for k, v in out.items()
+               if isinstance(v, np.ndarray)}
+        pred = np.asarray(self._infer_fn(self.params, self.stats, dev))
+
+        # per-instance slot gather: rows the instance's pred mask marks
+        # (works uniformly across per-instance AND union-time collates)
+        pmask = out["mask_predicted_data"]  # [B, T, D]
+        results = []
+        for i, (chunk, mean, std) in enumerate(built):
+            rows = np.nonzero(pmask[i].any(axis=-1))[0]
+            tp = np.sort(np.asarray(instances[i]["tp_to_predict"],
+                                    dtype=np.float32))
+            y = pred[i, rows][: len(tp)]
+            if mean is not None:
+                y = y * std + mean
+            results.append({"tp": tp.tolist(),
+                            "prediction": np.asarray(y, np.float64).tolist()})
+        return results

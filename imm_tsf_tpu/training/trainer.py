@@ -434,6 +434,16 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                 "experiment was trained with, or drop --load"
             ) from e
 
+    if checkpoint_dir is not None:
+        # persist the fully RESOLVED config (presets applied, shapes bound
+        # by parse_datasets) next to the checkpoints, so predict.py /
+        # serve.py can restore an experiment from --load alone instead of
+        # requiring the user to re-pass every training flag (the reference
+        # --load reuses only the experiment ID, main.py:724-729)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(os.path.join(checkpoint_dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+
     from ..data.loader import PrefetchIterator
 
     train_loader = data_obj["train_dataloader"]

@@ -1,0 +1,275 @@
+"""Serving-path tests: config persistence/restore, ForecastService parity
+with the training forward, micro-batching, and the HTTP server.
+
+The reference has no serving path (its --load reuses only an experiment
+ID, reference main.py:724-729); this subsystem is framework-new."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from imm_tsf_tpu.config import Config, load_saved_config
+from imm_tsf_tpu.training.trainer import trainable
+
+
+def _train_cfg(synth_root, **kw):
+    base = dict(
+        dataset="EPA-Air", data_root=synth_root, model="DLinear",
+        history=7, pred_window=7, stride=7, time_unit="days",
+        batch_size=16, epoch=2, patience=2, seed=1,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+@pytest.fixture(scope="module")
+def trained_exp(synth_root, tmp_path_factory):
+    """One trained DLinear experiment with checkpoints + config.json."""
+    ck = str(tmp_path_factory.mktemp("exp") / "experiment_serve1")
+    cfg = _train_cfg(synth_root)
+    res = trainable(cfg, checkpoint_dir=ck)
+    return ck, cfg, res
+
+
+def _instances_from_dataset(cfg, k=3):
+    """Build request instances straight from dataset chunks (history part
+    as observations, pred-window times as the forecast request)."""
+    from imm_tsf_tpu.data.loader import parse_datasets
+
+    data_obj = parse_datasets(cfg, verbose=False)
+    ds = data_obj["ds"]
+    out = []
+    for chunk in ds.chunks[:k]:
+        hist = chunk.tt < cfg.history
+        out.append({
+            "observed_tp": chunk.tt[hist].tolist(),
+            "observed_data": chunk.vals[hist].tolist(),
+            "observed_mask": chunk.mask[hist].tolist(),
+            "tp_to_predict": chunk.tt[~hist].tolist(),
+        })
+    return out, data_obj
+
+
+def test_config_json_persisted_and_restored(trained_exp):
+    ck, cfg, _ = trained_exp
+    path = os.path.join(ck, "config.json")
+    assert os.path.exists(path)
+    saved = load_saved_config(path)
+    # resolved shape bounds must be present (serving needs them)
+    assert saved.input_len > 0 and saved.pred_len > 0 and saved.input_dim == 3
+    assert saved.model == "DLinear" and saved.dataset == "EPA-Air"
+    assert saved.mesh_shape == cfg.mesh_shape  # tuple round-trip
+
+
+def test_service_matches_training_forward(trained_exp):
+    """Service predictions == the training-stack forward on the same chunk
+    (same collate, same weights) — the serving path adds no numerics."""
+    import jax
+
+    from imm_tsf_tpu.serving import ForecastService
+    from imm_tsf_tpu.models import get_model
+    from imm_tsf_tpu.training.checkpoint import load_checkpoint
+    from imm_tsf_tpu.training.trainer import init_state, make_forward
+
+    ck, cfg, _ = trained_exp
+    svc = ForecastService(ck, max_batch=4, max_wait_ms=1.0)
+    try:
+        instances, data_obj = _instances_from_dataset(svc.cfg, k=2)
+        preds = svc.forecast(instances)
+
+        # direct forward through the training stack on the same chunks
+        loader_cfg = data_obj["cfg"]
+        model = get_model(loader_cfg)
+        sample = next(iter(data_obj["train_dataloader"]))
+        params, stats = init_state(loader_cfg, model, None, sample,
+                                   jax.random.PRNGKey(0))
+        params, stats, _ = load_checkpoint(os.path.join(ck, "best"),
+                                           params, stats)
+        fwd = make_forward(loader_cfg, model, None)
+
+        from imm_tsf_tpu.data import collate as C
+
+        ds = data_obj["ds"]
+        chunks = ds.chunks[:2]
+        batch = C.standard_collate(
+            chunks, loader_cfg.history,
+            float(loader_cfg.history + loader_cfg.pred_window),
+            loader_cfg.input_len, loader_cfg.pred_len)
+        batch = C.add_multimodal(batch, chunks, False, True, 0, 0)
+        direct, _ = fwd(params, stats,
+                        {k: v for k, v in batch.items()
+                         if isinstance(v, np.ndarray)}, False, None)
+        direct = np.asarray(direct)
+
+        for i, p in enumerate(preds):
+            got = np.asarray(p["prediction"], np.float32)
+            m = len(p["tp"])
+            assert got.shape == (m, loader_cfg.input_dim)
+            np.testing.assert_allclose(got, direct[i, :m], rtol=2e-5,
+                                       atol=2e-5)
+    finally:
+        svc.close()
+
+
+def test_service_micro_batches_concurrent_requests(trained_exp):
+    """k concurrent submits produce the same results as serial forecasts,
+    and coalesce into fewer device dispatches."""
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck, cfg, _ = trained_exp
+    svc = ForecastService(ck, max_batch=8, max_wait_ms=50.0)
+    try:
+        instances, _ = _instances_from_dataset(svc.cfg, k=6)
+        serial = [svc.forecast([i])[0] for i in instances]
+        futs = [svc.submit(i) for i in instances]
+        batched = [f.result(timeout=60) for f in futs]
+        for a, b in zip(serial, batched):
+            np.testing.assert_allclose(a["prediction"], b["prediction"],
+                                       rtol=1e-6, atol=1e-6)
+    finally:
+        svc.close()
+
+
+def test_service_normalization_round_trip(trained_exp):
+    """mean/std stats z-score the input and de-normalize the output."""
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck, cfg, _ = trained_exp
+    svc = ForecastService(ck, max_batch=2, max_wait_ms=1.0)
+    try:
+        instances, _ = _instances_from_dataset(svc.cfg, k=1)
+        inst = instances[0]
+        base = svc.forecast([dict(inst)])[0]
+
+        mean = np.full(svc.cfg.input_dim, 5.0)
+        std = np.full(svc.cfg.input_dim, 2.0)
+        raw = dict(inst)
+        vals = np.asarray(inst["observed_data"], np.float32)
+        mask = np.asarray(inst["observed_mask"], np.float32)
+        raw["observed_data"] = ((vals * 2.0 + 5.0) * mask).tolist()
+        raw["mean"], raw["std"] = mean.tolist(), std.tolist()
+        denorm = svc.forecast([raw])[0]
+        np.testing.assert_allclose(
+            np.asarray(denorm["prediction"]),
+            np.asarray(base["prediction"]) * 2.0 + 5.0, rtol=1e-4, atol=1e-4)
+    finally:
+        svc.close()
+
+
+def test_service_validation_errors(trained_exp):
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck, cfg, _ = trained_exp
+    svc = ForecastService(ck, max_batch=2, max_wait_ms=1.0)
+    try:
+        instances, _ = _instances_from_dataset(svc.cfg, k=1)
+        bad = dict(instances[0])
+        bad["tp_to_predict"] = []  # empty request
+        with pytest.raises(ValueError, match="empty"):
+            svc.forecast([bad])
+        bad2 = dict(instances[0])
+        bad2["observed_data"] = [[0.0, 0.0]] * len(bad2["observed_tp"])
+        with pytest.raises(ValueError, match="features"):
+            svc.forecast([bad2])
+        # service still serves after errors
+        ok = svc.forecast([instances[0]])[0]
+        assert np.isfinite(np.asarray(ok["prediction"])).all()
+    finally:
+        svc.close()
+
+
+def test_http_server_round_trip(trained_exp):
+    """Real HTTP: POST /v1/forecast + GET /healthz on a live port."""
+    from http.server import ThreadingHTTPServer
+
+    from imm_tsf_tpu.serving import ForecastService
+    from serve import make_handler
+
+    ck, cfg, _ = trained_exp
+    svc = ForecastService(ck, max_batch=4, max_wait_ms=5.0)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"] and health["model"] == "DLinear"
+
+        instances, _ = _instances_from_dataset(svc.cfg, k=2)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/forecast",
+            data=json.dumps({"instances": instances}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = json.loads(r.read())
+        assert len(body["predictions"]) == 2
+        for p in body["predictions"]:
+            arr = np.asarray(p["prediction"])
+            assert arr.shape == (len(p["tp"]), svc.cfg.input_dim)
+            assert np.isfinite(arr).all()
+
+        # malformed body -> 400, not a crash
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/forecast",
+            data=json.dumps({"instances": []}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        svc.close()
+
+
+def test_predict_restores_saved_config(trained_exp, synth_root, capsys):
+    """predict.py works from --load alone (no re-passed training flags)."""
+    ck, cfg, _ = trained_exp
+    import predict
+
+    save_root = os.path.dirname(ck)
+    exp_id = os.path.basename(ck).split("experiment_")[1]
+    predict.main(["--load", exp_id, "--save", save_root,
+                  "--data_root", synth_root])
+    outerr = capsys.readouterr()
+    line = [l for l in outerr.out.splitlines() if l.startswith("{")][-1]
+    metrics = json.loads(line)
+    assert np.isfinite(metrics["test_mse"])
+    assert "# restored training config" in outerr.err
+
+
+def test_service_with_fusion_embeddings(synth_root, tmp_path_factory):
+    """Text-fusion checkpoint served with per-request note embeddings."""
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck = str(tmp_path_factory.mktemp("expf") / "experiment_servef")
+    cfg = _train_cfg(
+        synth_root, enable_text=True, use_text_embeddings=True,
+        llm_model_fusion="GPT2", llm_layers_fusion=6,
+        TTF_module="TTF_RecAvg", MMF_module="MMF_GR_Add", d_txt=16,
+    )
+    trainable(cfg, checkpoint_dir=ck)
+
+    svc = ForecastService(ck, max_batch=2, max_wait_ms=1.0)
+    try:
+        instances, data_obj = _instances_from_dataset(svc.cfg, k=2)
+        ds = data_obj["ds"]
+        for inst, chunk in zip(instances, ds.chunks[:2]):
+            inst["notes"] = [
+                {"tau": float(t), "embedding": np.asarray(e, np.float32).tolist()}
+                for t, e in zip(chunk.note_times, chunk.note_payloads)
+            ]
+        preds = svc.forecast(instances)
+        for p in preds:
+            assert np.isfinite(np.asarray(p["prediction"])).all()
+        # notes are optional per request even for fusion models
+        no_notes = svc.forecast([dict(instances[0], notes=[])])[0]
+        assert np.isfinite(np.asarray(no_notes["prediction"])).all()
+    finally:
+        svc.close()
