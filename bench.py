@@ -208,11 +208,45 @@ def bench_torch_reference(batch, steps=10, model_name="PatchTST"):
             sys.path.remove("/root/reference")
 
 
+def _guard_dead_accelerator(timeout_s: float = 240.0) -> None:
+    """Fail over to CPU when the remote-TPU tunnel is dead.
+
+    The axon backend's first compile RPC blocks forever if the tunnel
+    process died (observed: main_all hung at 0% CPU on a refused
+    connection). Probe `jax.devices()` in a SUBPROCESS with a timeout —
+    backend init happens once per process, so a hung probe can't be
+    recovered in-process — and force the CPU platform here if it never
+    comes back. The bench must always emit its JSON line."""
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu" or \
+            os.environ.get("JAX_PLATFORM_NAME", "").strip() == "cpu":
+        return  # already CPU-pinned
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode == 0:
+            return  # backend healthy (whatever platform it is)
+        reason = f"probe exited {r.returncode}: {r.stderr.strip()[-200:]}"
+    except subprocess.TimeoutExpired:
+        reason = f"probe hung >{timeout_s:.0f}s (tunnel dead?)"
+    print(f"# accelerator unavailable ({reason}); falling back to CPU",
+          file=sys.stderr)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def main():
     """Headline workload: PatchTST (d_model 512 transformer backbone, the
     reference's TSLib defaults) + TTF_RecAvg/MMF_GR_Add fusion — a
     representative mid-weight (model, fusion) combo measured identically in
     both frameworks (forward+backward+Adam step per window)."""
+    _guard_dead_accelerator()
     from imm_tsf_tpu.config import Config
 
     B, L, Lp, C = 64, 48, 24, 8

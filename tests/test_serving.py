@@ -244,6 +244,42 @@ def test_predict_restores_saved_config(trained_exp, synth_root, capsys):
     assert "# restored training config" in outerr.err
 
 
+@pytest.mark.parametrize("model,over", [
+    ("CRU", dict(cru_lsd=8, cru_hidden_units=16)),
+    ("LatentODE", dict(ode_latents=6, ode_rec_dims=8, ode_gen_layers=1,
+                       ode_rec_layers=1, ode_units=16, ode_gru_units=16)),
+    ("tPatchGNN", dict(hid_dim=16, patch_size=None, npatch=None,
+                       patch_stride=None)),
+])
+def test_service_other_collate_families(synth_root, tmp_path_factory, model,
+                                        over):
+    """The union-axis (ODE), raw-tp (CRU) and patch collates serve through
+    the same mask-gather result extraction as the standard path."""
+    from imm_tsf_tpu.config import MODEL_PRESETS
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck = str(tmp_path_factory.mktemp("expm") / f"experiment_{model}")
+    cfg = _train_cfg(synth_root, model=model, epoch=1, patience=1)
+    cfg = cfg.replace(**MODEL_PRESETS[model]).replace(**over)
+    trainable(cfg, checkpoint_dir=ck)
+
+    svc = ForecastService(ck, max_batch=3, max_wait_ms=5.0)
+    try:
+        instances, _ = _instances_from_dataset(svc.cfg, k=3)
+        # heterogeneous request lengths in one micro-batch
+        instances[1]["tp_to_predict"] = instances[1]["tp_to_predict"][:1]
+        futs = [svc.submit(i) for i in instances]
+        preds = [f.result(timeout=300) for f in futs]
+        for inst, p in zip(instances, preds):
+            arr = np.asarray(p["prediction"])
+            assert arr.shape == (len(inst["tp_to_predict"]),
+                                 svc.cfg.input_dim)
+            assert np.isfinite(arr).all()
+        assert len(preds[1]["tp"]) == 1
+    finally:
+        svc.close()
+
+
 def test_service_with_fusion_embeddings(synth_root, tmp_path_factory):
     """Text-fusion checkpoint served with per-request note embeddings."""
     from imm_tsf_tpu.serving import ForecastService
