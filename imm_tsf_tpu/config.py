@@ -429,6 +429,26 @@ def load_saved_config(path: str) -> Config:
     return Config(**kw)
 
 
+def restore_experiment_config(cli_cfg: Config, argv: list[str],
+                              checkpoint_dir: str) -> Config | None:
+    """Overlay explicitly-passed CLI flags onto an experiment's persisted
+    config. Returns None when the experiment predates config persistence
+    (no config.json) — callers fall back to their legacy flag paths.
+
+    Explicit flags are detected by scanning argv for `--<field>` tokens;
+    the CLI parser runs with allow_abbrev=False so a prefix abbreviation
+    can't bypass the scan."""
+    import os
+
+    path = os.path.join(checkpoint_dir, "config.json")
+    if not os.path.exists(path):
+        return None
+    names = {f.name for f in dataclasses.fields(Config)}
+    explicit = {t[2:].split("=")[0] for t in argv if t.startswith("--")} & names
+    base = load_saved_config(path)
+    return base.replace(**{k: getattr(cli_cfg, k) for k in explicit})
+
+
 def derive_npatch(history: int, patch_size: int, stride: int) -> int:
     """npatch = ceil((history - patch_size)/stride) + 1, clamped >= 1
     (reference main.py:748-750; the single implementation shared by the

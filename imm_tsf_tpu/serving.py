@@ -62,9 +62,19 @@ class _OneBatchProxy:
 
 
 def _build_chunk(inst: dict, cfg: Config, d_txt: int) -> tuple[Chunk, np.ndarray, np.ndarray]:
-    """Validate one request instance -> (Chunk, mean, std)."""
-    tt = np.asarray(inst["observed_tp"], dtype=np.float32)
-    vals = np.asarray(inst["observed_data"], dtype=np.float32)
+    """Validate one request instance -> (Chunk, mean, std). Every client
+    input defect raises ValueError (mapped to HTTP 400 by serve.py)."""
+    if not isinstance(inst, dict):
+        raise ValueError("each instance must be a JSON object")
+    for key in ("observed_tp", "observed_data", "tp_to_predict"):
+        if inst.get(key) is None:
+            raise ValueError(f"instance is missing required field {key!r}")
+    try:
+        tt = np.asarray(inst["observed_tp"], dtype=np.float32)
+        vals = np.asarray(inst["observed_data"], dtype=np.float32)
+        tp_pred = np.asarray(inst["tp_to_predict"], dtype=np.float32)
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"non-numeric request arrays: {e}") from None
     if vals.ndim != 2 or len(tt) != len(vals):
         raise ValueError("observed_data must be [n, D] aligned with observed_tp")
     D = vals.shape[1]
@@ -72,10 +82,12 @@ def _build_chunk(inst: dict, cfg: Config, d_txt: int) -> tuple[Chunk, np.ndarray
         raise ValueError(f"expected {cfg.input_dim} features, got {D}")
     if "observed_mask" in inst and inst["observed_mask"] is not None:
         mask = np.asarray(inst["observed_mask"], dtype=np.float32)
+        if mask.shape != vals.shape:
+            raise ValueError("observed_mask must match observed_data's shape")
     else:
         mask = np.isfinite(vals).astype(np.float32)
     vals = np.nan_to_num(vals, nan=0.0)
-    tp_pred = np.asarray(inst["tp_to_predict"], dtype=np.float32)
+    time_max = float(cfg.history + cfg.pred_window)
     if len(tt) > cfg.input_len:
         raise ValueError(
             f"{len(tt)} observed points exceed the experiment's input_len "
@@ -85,15 +97,24 @@ def _build_chunk(inst: dict, cfg: Config, d_txt: int) -> tuple[Chunk, np.ndarray
             f"{len(tp_pred)} forecast points exceed pred_len {cfg.pred_len}")
     if len(tp_pred) == 0:
         raise ValueError("tp_to_predict is empty")
-    if (tt >= cfg.history).any():
+    if len(tt) and ((tt < 0).any() or (tt >= cfg.history).any()):
         raise ValueError(f"observed_tp must lie in [0, history={cfg.history})")
-    if (tp_pred < cfg.history).any():
+    if (tp_pred < cfg.history).any() or (tp_pred > time_max).any():
         raise ValueError(
-            f"tp_to_predict must lie at/after history={cfg.history}")
+            f"tp_to_predict must lie in [history={cfg.history}, "
+            f"history+pred_window={time_max}]")
+    # duplicate times would be collapsed by the union-axis collate (the
+    # response would silently have fewer rows than tp) and collide in the
+    # scatter paths — reject them up front
+    if len(np.unique(tp_pred)) != len(tp_pred):
+        raise ValueError("tp_to_predict contains duplicate times")
+    if len(np.unique(tt)) != len(tt):
+        raise ValueError("observed_tp contains duplicate times")
 
     mean = std = None
-    if inst.get("mean") is not None:
-        mean = np.asarray(inst["mean"], dtype=np.float32).reshape(1, D)
+    if inst.get("mean") is not None or inst.get("std") is not None:
+        mean = np.asarray(inst["mean"] if inst.get("mean") is not None
+                          else np.zeros(D), dtype=np.float32).reshape(1, D)
         std = np.asarray(inst["std"] if inst.get("std") is not None
                          else np.ones(D), dtype=np.float32).reshape(1, D)
         std = np.where(std == 0, 1.0, std)  # sigma=0 -> center only
@@ -102,6 +123,10 @@ def _build_chunk(inst: dict, cfg: Config, d_txt: int) -> tuple[Chunk, np.ndarray
     # notes -> chunk payloads
     note_times, payloads = [], []
     for note in inst.get("notes") or []:
+        if not isinstance(note, dict) or "tau" not in note:
+            raise ValueError('each note must be {"tau", "embedding"|"text"}')
+        if "embedding" not in note and "text" not in note:
+            raise ValueError('note has neither "embedding" nor "text"')
         note_times.append(np.float32(note["tau"]))
         if "embedding" in note:
             if not cfg.use_text_embeddings:
@@ -198,8 +223,15 @@ class ForecastService:
         self._infer_fn = jax.jit(
             lambda p, s, b: fwd(p, s, b, False, None)[0])
 
+        # union-time-axis collates (LatentODE) share ONE batch-global time
+        # grid: coalescing requests from different clients would make a
+        # request's ODE discretization depend on its batch neighbors —
+        # nondeterministic serving output. Dispatch those per request.
+        self._coalesce = cfg.model != "LatentODE"
+
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._lock = threading.Lock()  # orders submit() vs close()
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -247,10 +279,15 @@ class ForecastService:
 
     # -------------------------------------------------------------- api
     def submit(self, instance: dict) -> Future:
-        if self._closed:
-            raise RuntimeError("service is closed")
+        """Validate + enqueue one instance. Validation happens HERE, per
+        instance, so a malformed request can never fail the concurrent
+        requests it would have been micro-batched with."""
+        built = _build_chunk(instance, self.cfg, self.d_txt)
         fut: Future = Future()
-        self._q.put((instance, fut))
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._q.put((built, fut))
         return fut
 
     def forecast(self, instances: list[dict]) -> list[dict]:
@@ -258,9 +295,21 @@ class ForecastService:
         return [f.result() for f in futs]
 
     def close(self):
-        self._closed = True
-        self._q.put(None)
-        self._worker.join(timeout=10)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
+        self._worker.join(timeout=30)
+        # the worker exits when it pops the sentinel — resolve anything
+        # still queued behind it so no client future is stranded
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("service closed"))
 
     # ------------------------------------------------------------ worker
     def _loop(self):
@@ -272,7 +321,7 @@ class ForecastService:
                 return
             batch = [item]
             deadline = _time.monotonic() + self.max_wait_s
-            while len(batch) < self.max_batch:
+            while self._coalesce and len(batch) < self.max_batch:
                 rem = deadline - _time.monotonic()
                 if rem <= 0:
                     break
@@ -288,7 +337,7 @@ class ForecastService:
 
     def _run(self, batch):
         try:
-            results = self._infer([inst for inst, _ in batch])
+            results = self._infer([built for built, _ in batch])
             for (_, fut), res in zip(batch, results):
                 fut.set_result(res)
         except Exception as e:  # fan the failure out; keep serving
@@ -297,9 +346,8 @@ class ForecastService:
                     fut.set_exception(e)
 
     # ----------------------------------------------------------- compute
-    def _infer(self, instances: list[dict]) -> list[dict]:
+    def _infer(self, built: list[tuple]) -> list[dict]:
         jnp = self._jax.numpy
-        built = [_build_chunk(inst, self.cfg, self.d_txt) for inst in instances]
         chunks = [b[0] for b in built]
         out = self._collate(chunks)
         dev = {k: jnp.asarray(v) for k, v in out.items()
@@ -312,8 +360,7 @@ class ForecastService:
         results = []
         for i, (chunk, mean, std) in enumerate(built):
             rows = np.nonzero(pmask[i].any(axis=-1))[0]
-            tp = np.sort(np.asarray(instances[i]["tp_to_predict"],
-                                    dtype=np.float32))
+            tp = np.sort(chunk.tt[chunk.tt >= self.cfg.history])
             y = pred[i, rows][: len(tp)]
             if mean is not None:
                 y = y * std + mean

@@ -34,7 +34,10 @@ _TUPLE_STR_FLAGS = {"mesh_axis_names", "rec_ids"}  # rec_ids: entity dir names
 
 def get_args_from_parser(argv=None) -> Config:
 
-    parser = argparse.ArgumentParser("imm-tsf-tpu")
+    # allow_abbrev=False: prefix abbreviations (--batch for --batch_size)
+    # would silently defeat the explicit-flag detection predict.py/serve.py
+    # use to overlay CLI flags onto a restored experiment config
+    parser = argparse.ArgumentParser("imm-tsf-tpu", allow_abbrev=False)
     default = Config()
     for f in dataclasses.fields(Config):
         name = f"--{f.name}"

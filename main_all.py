@@ -143,6 +143,14 @@ def _init_worker(platform: str, counter) -> None:
     from imm_tsf_tpu.utils.compile_cache import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()
+    if platform == "cpu":
+        # env alone is not enough where a sitecustomize force-registers a
+        # remote-accelerator platform via config.update (which outranks
+        # env): pin the platform explicitly BEFORE backend init, else a
+        # dead remote tunnel hangs every worker in backend discovery
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
 
 def main(argv=None):

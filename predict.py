@@ -38,25 +38,21 @@ def main(argv=None):
 
     from main import fixed_params, get_args_from_parser, tunable_params
 
-    from imm_tsf_tpu.config import apply_presets, load_saved_config, resolve_max_length
+    from imm_tsf_tpu.config import (apply_presets, resolve_max_length,
+                                    restore_experiment_config)
 
     cfg = get_args_from_parser(rest)
     if cfg.load is None:
         pre.error("predict.py requires --load <ExpID> (a trained experiment)")
-    saved_path = os.path.join(f"{cfg.save.rstrip('/')}",
-                              f"experiment_{cfg.load}", "config.json")
-    if os.path.exists(saved_path):
-        # restore the experiment's fully resolved training config; flags
-        # the user passed EXPLICITLY still override (so --data_root,
-        # --batch_size etc. can differ at inference time)
-        import dataclasses as _dc
-
-        names = {f.name for f in _dc.fields(type(cfg))}
-        explicit = {t[2:].split("=")[0] for t in rest
-                    if t.startswith("--")} & names
-        base = load_saved_config(saved_path)
-        cfg = base.replace(**{k: getattr(cfg, k) for k in explicit})
-        print(f"# restored training config from {saved_path}", file=sys.stderr)
+    exp_dir = f"{cfg.save.rstrip('/')}/experiment_{cfg.load}"
+    restored = restore_experiment_config(cfg, rest, exp_dir)
+    if restored is not None:
+        # the experiment's fully resolved training config, with flags the
+        # user passed EXPLICITLY overriding (so --data_root, --batch_size
+        # etc. can differ at inference time)
+        cfg = restored
+        print(f"# restored training config from {exp_dir}/config.json",
+              file=sys.stderr)
     else:
         # pre-config.json experiment: the user must re-pass the training
         # flags (legacy behavior)

@@ -35,8 +35,10 @@ def build_service(argv):
     pre.add_argument("--max_wait_ms", type=float, default=5.0)
     pre_args, rest = pre.parse_known_args(argv)
 
-    from main import get_args_from_parser
+    from main import fixed_params, get_args_from_parser, tunable_params
 
+    from imm_tsf_tpu.config import (apply_presets, resolve_max_length,
+                                    restore_experiment_config)
     from imm_tsf_tpu.serving import ForecastService
 
     cli = get_args_from_parser(rest)
@@ -46,14 +48,16 @@ def build_service(argv):
 
     # saved resolved config, with explicitly passed flags overriding
     # (same overlay as predict.py)
-    import dataclasses
-
-    names = {f.name for f in dataclasses.fields(type(cli))}
-    explicit = {t[2:].split("=")[0] for t in rest if t.startswith("--")} & names
-    from imm_tsf_tpu.config import load_saved_config
-
-    cfg = load_saved_config(f"{ck_dir}/config.json")
-    cfg = cfg.replace(**{k: getattr(cli, k) for k in explicit})
+    cfg = restore_experiment_config(cli, rest, ck_dir)
+    if cfg is None:
+        # pre-config.json experiment: legacy path — the user must re-pass
+        # the full training flag set (same fallback as predict.py)
+        print(f"# {ck_dir}/config.json not found (experiment predates "
+              f"config persistence): using CLI flags + presets",
+              file=sys.stderr)
+        cfg = apply_presets(cli, fixed_params, tunable_params)
+        if cfg.enable_text:
+            cfg = resolve_max_length(cfg)
 
     svc = ForecastService(ck_dir, cfg=cfg, max_batch=pre_args.max_batch,
                           max_wait_ms=pre_args.max_wait_ms)

@@ -175,11 +175,71 @@ def test_service_validation_errors(trained_exp):
         bad2["observed_data"] = [[0.0, 0.0]] * len(bad2["observed_tp"])
         with pytest.raises(ValueError, match="features"):
             svc.forecast([bad2])
+        with pytest.raises(ValueError, match="missing required field"):
+            svc.forecast([{"tp_to_predict": [7.0]}])
+        dup = dict(instances[0])
+        dup["tp_to_predict"] = [7.5, 7.5, 8.0]
+        with pytest.raises(ValueError, match="duplicate"):
+            svc.forecast([dup])
+        oor = dict(instances[0])
+        oor["tp_to_predict"] = [700.0]
+        with pytest.raises(ValueError, match="tp_to_predict must lie"):
+            svc.forecast([oor])
+        # a malformed submit fails synchronously and alone: a valid
+        # concurrent request is unaffected
+        ok_fut = svc.submit(instances[0])
+        with pytest.raises(ValueError):
+            svc.submit(bad2)
+        ok = ok_fut.result(timeout=60)
+        assert np.isfinite(np.asarray(ok["prediction"])).all()
         # service still serves after errors
         ok = svc.forecast([instances[0]])[0]
         assert np.isfinite(np.asarray(ok["prediction"])).all()
     finally:
         svc.close()
+
+
+def test_close_never_strands_futures(trained_exp):
+    """close() resolves every queued future (result or 'service closed'),
+    and submit-after-close raises instead of stranding a future."""
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck, cfg, _ = trained_exp
+    svc = ForecastService(ck, max_batch=2, max_wait_ms=200.0)
+    instances, _ = _instances_from_dataset(svc.cfg, k=5)
+    futs = [svc.submit(i) for i in instances]
+    svc.close()
+    for f in futs:
+        try:
+            res = f.result(timeout=30)
+            assert np.isfinite(np.asarray(res["prediction"])).all()
+        except RuntimeError as e:
+            assert "closed" in str(e)
+    with pytest.raises(RuntimeError, match="closed"):
+        svc.submit(instances[0])
+
+
+def test_predict_legacy_experiment_without_config_json(trained_exp, synth_root):
+    """Experiments from before config persistence still work when the
+    training flags are re-passed (predict.py's documented fallback)."""
+    import shutil
+
+    ck, cfg, _ = trained_exp
+    import predict
+
+    save_root = os.path.dirname(ck)
+    exp_id = os.path.basename(ck).split("experiment_")[1]
+    cfg_json = os.path.join(ck, "config.json")
+    shutil.move(cfg_json, cfg_json + ".bak")
+    try:
+        res = predict.main([
+            "--load", exp_id, "--save", save_root, "--data_root", synth_root,
+            "--dataset", "EPA-Air", "--model", "DLinear", "--history", "7",
+            "--pred_window", "7", "--stride", "7", "--time_unit", "days",
+            "--batch_size", "16"])
+        assert np.isfinite(res["test_mse"])
+    finally:
+        shutil.move(cfg_json + ".bak", cfg_json)
 
 
 def test_http_server_round_trip(trained_exp):
