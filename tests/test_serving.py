@@ -340,6 +340,33 @@ def test_service_other_collate_families(synth_root, tmp_path_factory, model,
         svc.close()
 
 
+def test_service_timellm_exact_prompt(synth_root, tmp_path_factory):
+    """TimeLLM exact-prompt checkpoints serve through ForecastService:
+    the host stats->text->tokenize loader stage runs on request batches."""
+    from imm_tsf_tpu.config import MODEL_PRESETS
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck = str(tmp_path_factory.mktemp("expt") / "experiment_tllm")
+    cfg = _train_cfg(synth_root, model="TimeLLM", epoch=1, patience=1)
+    cfg = cfg.replace(**MODEL_PRESETS["TimeLLM"]).replace(
+        llm_layers_timellm=1, input_token_len=4, d_model=16, d_ff=32,
+        timellm_exact_prompt=True)
+    trainable(cfg, checkpoint_dir=ck)
+
+    svc = ForecastService(ck, max_batch=2, max_wait_ms=1.0)
+    try:
+        assert svc.cfg.timellm_exact_prompt  # restored from config.json
+        instances, _ = _instances_from_dataset(svc.cfg, k=2)
+        preds = svc.forecast(instances)
+        for inst, p in zip(instances, preds):
+            arr = np.asarray(p["prediction"])
+            assert arr.shape == (len(inst["tp_to_predict"]),
+                                 svc.cfg.input_dim)
+            assert np.isfinite(arr).all()
+    finally:
+        svc.close()
+
+
 def test_service_with_fusion_embeddings(synth_root, tmp_path_factory):
     """Text-fusion checkpoint served with per-request note embeddings."""
     from imm_tsf_tpu.serving import ForecastService
