@@ -232,6 +232,17 @@ class ForecastService:
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()  # orders submit() vs close()
+
+        # observability counters (exposed by serve.py's /metrics)
+        import time as _time
+
+        self._t_start = _time.monotonic()
+        self._m_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_errors = 0
+        self._n_dispatches = 0
+        self._lat_ring: list[float] = []  # last 1024 dispatch latencies (s)
+
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
 
@@ -336,14 +347,55 @@ class ForecastService:
             self._run(batch)
 
     def _run(self, batch):
+        import time as _time
+
+        t0 = _time.monotonic()
         try:
             results = self._infer([built for built, _ in batch])
             for (_, fut), res in zip(batch, results):
                 fut.set_result(res)
+            err = 0
         except Exception as e:  # fan the failure out; keep serving
             for _, fut in batch:
                 if not fut.done():
                     fut.set_exception(e)
+            err = len(batch)
+        dt = _time.monotonic() - t0
+        with self._m_lock:
+            self._n_requests += len(batch)
+            self._n_errors += err
+            self._n_dispatches += 1
+            self._lat_ring.append(dt)
+            if len(self._lat_ring) > 1024:
+                del self._lat_ring[:512]
+
+    def metrics(self) -> dict:
+        """Service counters for monitoring (serve.py exposes at /metrics).
+        Dispatch latency includes host collate + device compute; the first
+        dispatches include XLA compiles."""
+        import time as _time
+
+        with self._m_lock:
+            lat = np.asarray(self._lat_ring, dtype=np.float64)
+            n_req, n_err = self._n_requests, self._n_errors
+            n_disp = self._n_dispatches
+        out = {
+            "uptime_s": round(_time.monotonic() - self._t_start, 3),
+            "requests_total": n_req,
+            "request_errors_total": n_err,
+            "dispatches_total": n_disp,
+            "mean_batch_size": round(n_req / n_disp, 3) if n_disp else None,
+            "queue_depth": self._q.qsize(),
+            "model": self.cfg.model,
+            "best_epoch": int(self.step),
+        }
+        if len(lat):
+            out["dispatch_latency_ms"] = {
+                "p50": round(float(np.percentile(lat, 50)) * 1e3, 3),
+                "p95": round(float(np.percentile(lat, 95)) * 1e3, 3),
+                "max": round(float(lat.max()) * 1e3, 3),
+            }
+        return out
 
     # ----------------------------------------------------------- compute
     def _infer(self, built: list[tuple]) -> list[dict]:

@@ -83,6 +83,8 @@ def make_handler(svc):
                                  "dataset": svc.cfg.dataset,
                                  "enable_text": svc.cfg.enable_text,
                                  "epoch": int(svc.step)})
+            elif self.path == "/metrics":
+                self._send(200, svc.metrics())
             else:
                 self._send(404, {"error": "not found"})
 

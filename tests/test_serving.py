@@ -282,6 +282,21 @@ def test_http_server_round_trip(trained_exp):
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(bad, timeout=30)
         assert ei.value.code == 400
+
+        # missing required field -> 400 (client error, not a 500)
+        bad2 = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/forecast",
+            data=json.dumps({"instances": [{"tp_to_predict": [7.0]}]}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei2:
+            urllib.request.urlopen(bad2, timeout=30)
+        assert ei2.value.code == 400
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
+            m = json.loads(r.read())
+        assert m["requests_total"] >= 2 and m["dispatches_total"] >= 1
+        assert m["dispatch_latency_ms"]["p50"] > 0
     finally:
         httpd.shutdown()
         httpd.server_close()
