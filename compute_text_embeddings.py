@@ -124,7 +124,13 @@ if __name__ == "__main__":
     ap.add_argument("--llm_tp", type=int, default=0,
                     help="tensor-parallel width for the frozen LLM "
                          "(0=auto: all chips for Llama/DeepSeek)")
+    ap.add_argument("--platform", default="auto",
+                    help="pin the jax backend platform (e.g. cpu) before "
+                         "backend init; auto = default discovery")
     args = ap.parse_args()
+    from imm_tsf_tpu.utils.platform import pin_platform
+
+    pin_platform(args.platform)
     for ds in args.datasets:
         compute_text_embeddings(
             ds, args.llm_model_fusion, args.llm_layers_fusion, args.max_length,

@@ -28,6 +28,12 @@ class Config:
     # reference --gpu N selects the CUDA device (main.py:62,752); here it
     # selects the Nth visible accelerator chip (go.sh passes it through)
     gpu: int = 0
+    # jax backend platform: "auto" (default discovery order), or an explicit
+    # platform name ("cpu", "tpu", ...) pinned BEFORE backend init. "cpu"
+    # keeps every driver usable when the accelerator/tunnel is down — env
+    # vars alone don't suffice where a sitecustomize force-registers a
+    # remote platform via config.update (which outranks env).
+    platform: str = "auto"
     state: str = "def"  # "def" | "debug"
     seed: int = 1
     dataset: str = "FNSPID"

@@ -342,6 +342,11 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
     """Train one (dataset, model, fusion) combo; returns best-epoch test
     metrics {loss, mse, mae, rmse, mape} (reference main.py:1176)."""
     from ..data.loader import parse_datasets
+    from ..utils.platform import pin_platform
+
+    # before ANY backend touch in this process (jax.devices() in make_mesh,
+    # embedding loads in parse_datasets)
+    pin_platform(cfg.platform)
 
     if data_obj is None:
         data_obj = parse_datasets(cfg, verbose=False)

@@ -12,12 +12,22 @@ Workers must not contend for one accelerator: --worker_platform cpu
 import; --worker_platform tpu round-robins workers over the host's chips
 via TPU_VISIBLE_DEVICES (requires >= N chips — with a single chip, run
 serially instead).
+
+Elastic recovery (serial and parallel paths): a transient accelerator
+failure — remote-tunnel outage, preemption, backend init error — no
+longer kills the sweep. The driver waits for the backend to come back
+(subprocess probes; a dead tunnel hangs in-process discovery) and
+re-execs itself; resume-by-result-file skips all finished combinations.
+See _is_transient_accelerator_error/_recover_and_reexec; bounded by
+--max_recoveries.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 from itertools import product
 from pathlib import Path
@@ -125,6 +135,92 @@ def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
     return ("ok", elapsed)
 
 
+def _is_transient_accelerator_error(exc: BaseException) -> bool:
+    """True when an exception looks like the accelerator backend dying
+    under us (remote-tunnel outage, preemption, backend init failure) —
+    failures that resolve by waiting and retrying, as opposed to real
+    bugs in a combination, which must keep failing fast.
+
+    Elastic-recovery addition (SURVEY.md §5.3): the reference sweep has
+    no analog — a CUDA device loss kills main_all.py and loses the rest
+    of the sweep (its only recovery is manual relaunch + resume-by-file).
+    """
+    msg = f"{type(exc).__name__}: {exc}"
+    needles = (
+        "UNAVAILABLE",            # jax/XLA backend status code
+        "DEADLINE_EXCEEDED",
+        "Unable to initialize backend",
+        "backend setup/compile error",
+        "failed to connect",
+        "Socket closed",
+        "Connection reset",
+    )
+    return any(n in msg for n in needles)
+
+
+def _wait_for_backend(interval_s: float = 60.0, timeout_s: float = 3600.0,
+                      probe_timeout_s: float = 120.0, probe_argv=None) -> bool:
+    """Poll until the accelerator backend initializes again.
+
+    The probe runs in a SUBPROCESS: once a jax process has seen its
+    backend die, retrying in-process hits cached/poisoned backend state,
+    and a dead remote tunnel can HANG backend discovery rather than
+    erroring — so each probe gets its own interpreter and a hard kill.
+    """
+    import subprocess
+
+    argv = probe_argv or [
+        sys.executable, "-c",
+        "import jax; assert jax.devices()",
+    ]
+    deadline = time.time() + timeout_s
+    while True:
+        try:
+            r = subprocess.run(argv, capture_output=True,
+                               timeout=probe_timeout_s)
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() + interval_s > deadline:
+            return False
+        time.sleep(interval_s)
+
+
+_MAX_RECOVERIES_ENV = "IMM_SWEEP_RECOVERIES"
+
+
+def _recover_and_reexec(args, exc) -> None:
+    """Wait out a transient accelerator outage, then re-exec the sweep.
+
+    Re-exec (rather than retrying in-process) is what makes this safe:
+    the replacement process initializes a fresh jax backend, and
+    resume-by-result-file (run_combination) skips every combination that
+    already finished. Completed work is never lost; the in-flight combo
+    re-runs from scratch. Bounded by IMM_SWEEP_RECOVERIES to rule out
+    crash loops on a permanently dead backend.
+    """
+    n = int(os.environ.get(_MAX_RECOVERIES_ENV, "0"))
+    if n >= args.max_recoveries:
+        print(f"[elastic] giving up after {n} recoveries", file=sys.stderr)
+        raise exc
+    print(f"[elastic] transient accelerator failure: {exc}\n"
+          f"[elastic] waiting for backend (probe every "
+          f"{args.recover_probe_interval:.0f}s, up to "
+          f"{args.recover_timeout:.0f}s)...", file=sys.stderr)
+    if not _wait_for_backend(interval_s=args.recover_probe_interval,
+                             timeout_s=args.recover_timeout):
+        print("[elastic] backend did not come back in time", file=sys.stderr)
+        raise exc
+    os.environ[_MAX_RECOVERIES_ENV] = str(n + 1)
+    print(f"[elastic] backend is back — re-exec (recovery {n + 1}/"
+          f"{args.max_recoveries}); finished combos resume from "
+          f"{args.results_dir}", file=sys.stderr)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def _init_worker(platform: str, counter) -> None:
     """Per-worker device isolation, run before the worker's first jax
     import (ProcessPoolExecutor initializer, spawn context)."""
@@ -186,7 +282,25 @@ def main(argv=None):
     ap.add_argument("--mmf", nargs="+", default=list(MMF_MODULES),
                     choices=list(MMF_MODULES),
                     help="restrict the MMF modules swept for text-on combos")
+    ap.add_argument("--max_recoveries", type=int, default=8,
+                    help="elastic recovery: on a transient accelerator "
+                         "failure (tunnel outage, preemption), wait for the "
+                         "backend and re-exec the sweep up to N times; "
+                         "finished combos resume by result-file. 0 disables.")
+    ap.add_argument("--recover_probe_interval", type=float, default=60.0,
+                    help="seconds between backend liveness probes while "
+                         "waiting out an accelerator outage")
+    ap.add_argument("--recover_timeout", type=float, default=3600.0,
+                    help="give up if the backend stays down this long (s)")
+    ap.add_argument("--platform", default="auto",
+                    help="pin the jax backend platform for serial runs "
+                         "(e.g. cpu when the accelerator is down); parallel "
+                         "workers use --worker_platform")
     args = ap.parse_args(argv)
+
+    from imm_tsf_tpu.utils.platform import pin_platform
+
+    pin_platform(args.platform)
 
     # text-on combos sweep the (restricted) fusion matrix; text-off runs
     # exactly once per (dataset, model) with the default pair — the
@@ -234,6 +348,7 @@ def main(argv=None):
                     os.environ.pop(k, None)
                 else:
                     os.environ[k] = v
+        transient_exc = None
         try:
             futures = {
                 pool.submit(
@@ -244,7 +359,17 @@ def main(argv=None):
                 for c in combinations
             }
             for fut, c in futures.items():
-                status, dt = fut.result()
+                try:
+                    status, dt = fut.result()
+                except Exception as exc:
+                    if args.max_recoveries > 0 and \
+                            _is_transient_accelerator_error(exc):
+                        # recovery must wait for the finally below: os.execv
+                        # never returns, so re-exec'ing here would skip pool
+                        # cleanup and orphan the worker processes
+                        transient_exc = exc
+                        break
+                    raise
                 run_times.append((" | ".join(map(str, c)), dt))
         finally:
             # workers can hang at interpreter exit (accelerator-runtime
@@ -258,14 +383,22 @@ def main(argv=None):
             for p in procs:
                 if p.is_alive():
                     p.terminate()
+        if transient_exc is not None:
+            _recover_and_reexec(args, transient_exc)  # re-exec or re-raise
     else:
         for idx, c in enumerate(combinations):
             print(f"[{idx + 1}/{len(combinations)}] {c}")
-            status, dt = run_combination(
-                c, args.batch_size, args.llm_model_fusion,
-                bool(args.use_text_embeddings), args.data_root, args.epoch,
-                results_dir, seeds=args.seeds, lrs=args.lrs,
-            )
+            try:
+                status, dt = run_combination(
+                    c, args.batch_size, args.llm_model_fusion,
+                    bool(args.use_text_embeddings), args.data_root, args.epoch,
+                    results_dir, seeds=args.seeds, lrs=args.lrs,
+                )
+            except Exception as exc:
+                if args.max_recoveries > 0 and \
+                        _is_transient_accelerator_error(exc):
+                    _recover_and_reexec(args, exc)  # re-exec or re-raise
+                raise
             run_times.append((" | ".join(map(str, c)), dt))
 
     total = time.time() - total_t0

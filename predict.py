@@ -62,6 +62,9 @@ def main(argv=None):
 
     import jax
 
+    from imm_tsf_tpu.utils.platform import pin_platform
+
+    pin_platform(cfg.platform)  # before the first backend init below
     if cfg.gpu and not cfg.mesh_shape:
         # same single-chip device pin as trainable() (reference --gpu N =
         # CUDA device selection, main.py:752) — must precede ANY jax

@@ -59,6 +59,9 @@ def build_service(argv):
         if cfg.enable_text:
             cfg = resolve_max_length(cfg)
 
+    from imm_tsf_tpu.utils.platform import pin_platform
+
+    pin_platform(cfg.platform)  # before ForecastService's first backend init
     svc = ForecastService(ck_dir, cfg=cfg, max_batch=pre_args.max_batch,
                           max_wait_ms=pre_args.max_wait_ms)
     return svc, pre_args

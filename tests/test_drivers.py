@@ -110,6 +110,142 @@ def test_sweep_parallel_workers(synth_root, tmp_path):
         assert np.isfinite(json.loads(f.read_text())["metrics"]["mse"])
 
 
+def test_pin_platform(monkeypatch):
+    """--platform pins env AND in-process config (env alone is outranked
+    by a sitecustomize config.update force-registering a remote backend)."""
+    import jax
+
+    from imm_tsf_tpu.utils.platform import pin_platform
+
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    pin_platform("auto")  # no-op
+    assert "JAX_PLATFORMS" not in os.environ
+    pin_platform("cpu")  # conftest already pinned cpu; re-pin is idempotent
+    assert os.environ["JAX_PLATFORMS"] == "cpu"
+    assert os.environ["JAX_PLATFORM_NAME"] == "cpu"
+    assert jax.config.jax_platforms == "cpu"
+
+
+def test_transient_accelerator_error_classifier():
+    """Elastic sweep recovery (SURVEY §5.3): exactly the backend-death
+    shapes retry; real bugs keep failing fast."""
+    import main_all
+
+    # the verbatim failure from a remote-tunnel outage mid-sweep
+    tunnel = RuntimeError(
+        "Unable to initialize backend 'axon': UNAVAILABLE: TPU backend "
+        "setup/compile error (Unavailable). (set JAX_PLATFORMS='' to "
+        "automatically choose an available backend)")
+    assert main_all._is_transient_accelerator_error(tunnel)
+    assert main_all._is_transient_accelerator_error(
+        RuntimeError("DEADLINE_EXCEEDED: collective timed out"))
+    assert not main_all._is_transient_accelerator_error(
+        ValueError("shape mismatch: (8, 3) vs (8, 4)"))
+    assert not main_all._is_transient_accelerator_error(
+        FileNotFoundError("embeddings.npz"))
+
+
+def test_wait_for_backend_probe():
+    import sys
+
+    import main_all
+
+    ok = [sys.executable, "-c", "pass"]
+    bad = [sys.executable, "-c", "raise SystemExit(1)"]
+    assert main_all._wait_for_backend(interval_s=0.01, timeout_s=5,
+                                      probe_argv=ok)
+    assert not main_all._wait_for_backend(interval_s=0.05, timeout_s=0.1,
+                                          probe_argv=bad)
+
+
+def test_sweep_elastic_recovery_reexec(synth_root, tmp_path, monkeypatch):
+    """A transient accelerator failure mid-sweep waits for the backend
+    and re-execs (resume-by-result-file), instead of killing the sweep."""
+    import main_all
+
+    calls = {"n": 0}
+
+    def dying_run_combination(combo, *a, **k):
+        calls["n"] += 1
+        raise RuntimeError(
+            "Unable to initialize backend 'axon': UNAVAILABLE: TPU "
+            "backend setup/compile error (Unavailable).")
+
+    execed = {}
+
+    def fake_execv(exe, argv):
+        execed["argv"] = argv
+        raise SystemExit(42)  # never returns in real life
+
+    monkeypatch.setattr(main_all, "run_combination", dying_run_combination)
+    monkeypatch.setattr(main_all, "_wait_for_backend", lambda **k: True)
+    monkeypatch.setattr(main_all.os, "execv", fake_execv, raising=False)
+    monkeypatch.delenv(main_all._MAX_RECOVERIES_ENV, raising=False)
+
+    argv = ["--datasets", "EPA-Air", "--models", "DLinear",
+            "--enable_text", "0", "--epoch", "1",
+            "--data_root", synth_root, "--results_dir", str(tmp_path / "r")]
+    with pytest.raises(SystemExit):
+        main_all.main(argv)
+    assert calls["n"] == 1
+    assert os.environ[main_all._MAX_RECOVERIES_ENV] == "1"
+    monkeypatch.delenv(main_all._MAX_RECOVERIES_ENV, raising=False)
+
+    # exhausted recovery budget -> the original error propagates
+    monkeypatch.setenv(main_all._MAX_RECOVERIES_ENV, "8")
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        main_all.main(argv)
+
+    # --max_recoveries 0 disables recovery entirely (no probe, no exec)
+    monkeypatch.delenv(main_all._MAX_RECOVERIES_ENV, raising=False)
+    monkeypatch.setattr(main_all, "_wait_for_backend",
+                        lambda **k: pytest.fail("probe ran with recovery off"))
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        main_all.main(argv + ["--max_recoveries", "0"])
+
+
+def test_sweep_elastic_recovery_parallel(synth_root, tmp_path, monkeypatch):
+    """Parallel path: a worker dying of a transient accelerator failure
+    routes through pool cleanup FIRST, then recovery re-exec."""
+    import concurrent.futures as cf
+
+    import main_all
+
+    class FakeFuture:
+        def result(self):
+            raise RuntimeError(
+                "Unable to initialize backend 'axon': UNAVAILABLE")
+
+    shutdown = {"called": False}
+
+    class FakePool:
+        def __init__(self, *a, **k):
+            pass
+
+        def submit(self, *a, **k):
+            return FakeFuture()
+
+        def shutdown(self, *a, **k):
+            shutdown["called"] = True
+
+    monkeypatch.setattr(cf, "ProcessPoolExecutor", FakePool)
+    monkeypatch.setattr(main_all, "_wait_for_backend", lambda **k: True)
+    monkeypatch.setattr(main_all.os, "execv",
+                        lambda exe, argv: (_ for _ in ()).throw(SystemExit(42)))
+    monkeypatch.delenv(main_all._MAX_RECOVERIES_ENV, raising=False)
+
+    with pytest.raises(SystemExit):
+        main_all.main([
+            "--datasets", "EPA-Air", "--models", "DLinear",
+            "--enable_text", "0", "--epoch", "1",
+            "--data_root", synth_root, "--results_dir", str(tmp_path / "r"),
+            "--parallel", "2",
+        ])
+    assert shutdown["called"]  # pool cleaned up before os.execv
+    assert os.environ[main_all._MAX_RECOVERIES_ENV] == "1"
+    monkeypatch.delenv(main_all._MAX_RECOVERIES_ENV, raising=False)
+
+
 def test_ds_summary(synth_root):
     from imm_tsf_tpu.data.summary import show_ds_summary
 
