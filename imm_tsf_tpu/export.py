@@ -1,0 +1,201 @@
+"""AOT model export: jax.export / StableHLO deployment artifacts.
+
+`export_experiment` compiles a trained experiment's forecast function at
+fixed batch sizes, bakes the trained weights into the programs as
+constants, and serializes the StableHLO programs into an artifact
+directory. Loading the artifact (`ExportedForecaster`) needs NO model
+code, NO flax module construction and NO checkpoint restore — the device
+programs are self-contained; only the request collate machinery
+(`serving.py`) runs in Python. Programs are platform-checked at call
+time: export with `platforms=("cpu", "tpu")` on the CPU host to produce
+one artifact servable on both.
+
+The torch reference has no deployment story (it stops at training
+metrics, main.py:1176); this completes the TPU-native serving path
+alongside the live `ForecastService`.
+
+Artifact layout:
+    meta.json              version, model, batch sizes, input specs
+    config.json            the experiment's resolved Config
+    forecast_b{B}.jaxexport serialized jax.export program per batch size
+
+Caveats (recorded in meta.json):
+  - LatentODE is not exportable: its union-time-axis collate makes the
+    device shapes depend on batch content (the live service handles this
+    by refusing to coalesce requests; an AOT program cannot).
+  - Raw-text experiments (use_text_embeddings=false) still embed notes
+    through the frozen LLM on the host BEFORE the exported program; the
+    LLM loads from IMM_TSF_LLM_DIR as at training time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from .config import Config, load_saved_config
+
+ARTIFACT_VERSION = 1
+
+
+def export_experiment(checkpoint_dir: str, out_dir: str,
+                      cfg: Config | None = None,
+                      batch_sizes=(1, 8, 32), platforms=None,
+                      max_notes: int = 8) -> dict:
+    """Export a trained experiment to a deployment artifact directory.
+
+    Returns the meta dict written to meta.json. `platforms` is the
+    jax.export platform list (None = the current backend only);
+    `max_notes` pins the static notes-axis size for text experiments.
+    """
+    import jax
+    from jax import export as jexport
+
+    from .data import collate as C
+    from .serving import ForecastService, collate_chunks
+
+    batch_sizes = sorted({int(b) for b in batch_sizes})
+    if not batch_sizes or batch_sizes[0] < 1:
+        raise ValueError("batch_sizes must be positive ints")
+    if cfg is None:
+        cfg = load_saved_config(os.path.join(checkpoint_dir, "config.json"))
+    if cfg.model == "LatentODE":
+        raise ValueError(
+            "LatentODE cannot be AOT-exported: its union-time-axis "
+            "collate gives the device program batch-content-dependent "
+            "shapes; serve it with the live ForecastService instead")
+
+    svc = ForecastService(checkpoint_dir, cfg=cfg,
+                          max_batch=max(batch_sizes))
+    try:
+        notes_cap = C.pad_to_bucket(max(int(max_notes), 1)) \
+            if cfg.enable_text else 0
+
+        params, stats = svc.params, svc.stats
+        infer = svc._infer_fn
+        fn = jax.jit(lambda b: infer(params, stats, b))  # weights baked in
+
+        os.makedirs(out_dir, exist_ok=True)
+        input_specs = {}
+        exported_platforms = None
+        for B in batch_sizes:
+            # representative batch at size B through the service's own
+            # collate + loader stages (TimeLLM prompts etc.), notes axis
+            # pinned to the artifact-wide cap
+            out = collate_chunks(cfg, [svc._dummy_chunk()], svc.d_txt,
+                                 svc.time_max, B, n_notes=notes_cap)
+            svc._proxy.batch = out
+            batch = next(iter(svc._stage_top))
+            spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                    for k, v in batch.items() if isinstance(v, np.ndarray)}
+            exp = jexport.export(fn, platforms=platforms)(spec)
+            exported_platforms = list(exp.platforms)
+            with open(os.path.join(out_dir, f"forecast_b{B}.jaxexport"),
+                      "wb") as f:
+                f.write(exp.serialize())
+            input_specs[str(B)] = {
+                k: {"shape": list(map(int, v.shape)), "dtype": str(v.dtype)}
+                for k, v in spec.items()
+            }
+
+        # the resolved config: from the experiment's persisted config.json
+        # when present, else the cfg handed in
+        src_cfg = os.path.join(checkpoint_dir, "config.json")
+        if os.path.exists(src_cfg):
+            with open(src_cfg) as f:
+                cfg_payload = json.load(f)
+        else:
+            cfg_payload = dataclasses.asdict(cfg)
+        with open(os.path.join(out_dir, "config.json"), "w") as f:
+            json.dump(cfg_payload, f, indent=2)
+
+        meta = {
+            "artifact_version": ARTIFACT_VERSION,
+            "model": cfg.model,
+            "dataset": cfg.dataset,
+            "enable_text": cfg.enable_text,
+            "batch_sizes": batch_sizes,
+            "platforms": exported_platforms,
+            "notes_cap": notes_cap,
+            "d_txt": svc.d_txt,
+            "best_epoch": int(svc.step),
+            "jax_version": jax.__version__,
+            "input_specs": input_specs,
+        }
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        return meta
+    finally:
+        svc.close()
+
+
+class ExportedForecaster:
+    """Serve forecasts from an exported artifact — no model code, no
+    weight restore; the programs carry the trained weights as constants.
+
+    Same instance schema as ForecastService.forecast (serving.py
+    docstring); synchronous, no micro-batching thread (batch your own
+    requests — the artifact holds one program per exported batch size).
+    """
+
+    def __init__(self, artifact_dir: str):
+        from jax import export as jexport
+
+        from .serving import _OneBatchProxy
+        from .training.trainer import make_loader_wrappers
+
+        with open(os.path.join(artifact_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        if self.meta["artifact_version"] != ARTIFACT_VERSION:
+            raise ValueError(
+                f"artifact version {self.meta['artifact_version']} != "
+                f"supported {ARTIFACT_VERSION}")
+        self.cfg = load_saved_config(os.path.join(artifact_dir, "config.json"))
+        self.d_txt = int(self.meta["d_txt"])
+        self.notes_cap = int(self.meta["notes_cap"])
+        self.time_max = float(self.cfg.history + self.cfg.pred_window)
+        self._programs = {}
+        for B in self.meta["batch_sizes"]:
+            path = os.path.join(artifact_dir, f"forecast_b{B}.jaxexport")
+            with open(path, "rb") as f:
+                self._programs[int(B)] = jexport.deserialize(f.read())
+
+        # host-side loader stages (TimeLLM exact prompts, raw-text note
+        # embedding) — weight-free except the frozen LLM for raw text
+        self._proxy = _OneBatchProxy()
+        stage = self._proxy
+        for wrap in make_loader_wrappers(self.cfg):
+            stage = wrap(stage)
+        self._stage_top = stage
+
+    def forecast(self, instances: list[dict]) -> list[dict]:
+        import jax.numpy as jnp
+
+        from .serving import _build_chunk, collate_chunks, gather_results
+
+        built = [_build_chunk(inst, self.cfg, self.d_txt)
+                 for inst in instances]
+        n = len(built)
+        sizes = [B for B in self._programs if B >= n]
+        if not sizes:
+            raise ValueError(
+                f"{n} instances exceed the largest exported batch size "
+                f"{max(self._programs)}; split the request")
+        B = min(sizes)
+        if self.cfg.enable_text:
+            worst = max(len(c.note_times) for c, _, _ in built)
+            if worst > self.notes_cap:
+                raise ValueError(
+                    f"{worst} notes exceed the artifact's notes_cap "
+                    f"{self.notes_cap} (re-export with a larger max_notes)")
+        out = collate_chunks(self.cfg, [c for c, _, _ in built], self.d_txt,
+                             self.time_max, B, n_notes=self.notes_cap)
+        self._proxy.batch = out
+        out = next(iter(self._stage_top))
+        dev = {k: jnp.asarray(v) for k, v in out.items()
+               if isinstance(v, np.ndarray)}
+        pred = np.asarray(self._programs[B].call(dev))
+        return gather_results(self.cfg, built, out, pred)

@@ -166,6 +166,52 @@ def _build_chunk(inst: dict, cfg: Config, d_txt: int) -> tuple[Chunk, np.ndarray
     return chunk, mean, std
 
 
+def collate_chunks(cfg: Config, chunks: list[Chunk], d_txt: int,
+                   time_max: float, pad_to: int,
+                   n_notes: int | None = None) -> dict:
+    """Collate request chunks through the exact training-time collate for
+    cfg's model family, batch-padded to the static size `pad_to`. Shared
+    by the live service and the AOT-exported artifact path (export.py).
+    n_notes pins the notes axis to a fixed size (exported programs have
+    one static notes shape; the live service buckets per batch)."""
+    if cfg.model == "tPatchGNN":
+        out = C.patch_collate(chunks, cfg.history, time_max,
+                              cfg.pred_len, cfg.patch_size,
+                              cfg.patch_stride, cfg.npatch)
+    elif cfg.model == "CRU":
+        out = C.cru_collate(chunks, cfg.history, time_max,
+                            cfg.input_len, cfg.pred_len)
+    elif cfg.model == "LatentODE":
+        out = C.ode_collate(chunks, cfg.history, time_max)
+    else:
+        out = C.standard_collate(chunks, cfg.history, time_max,
+                                 cfg.input_len, cfg.pred_len)
+    if n_notes is None:
+        n_notes = max([len(c.note_times) for c in chunks], default=0)
+        n_notes = C.pad_to_bucket(max(n_notes, 1)) if cfg.enable_text else 0
+    out = C.add_multimodal(out, chunks, cfg.enable_text,
+                           cfg.use_text_embeddings, n_notes, d_txt)
+    return _pad_batch_dim(out, len(chunks), pad_to)
+
+
+def gather_results(cfg: Config, built: list[tuple], out: dict,
+                   pred: np.ndarray) -> list[dict]:
+    """Fan a batched prediction back out to per-instance responses: the
+    rows each instance's pred mask marks (uniform across per-instance AND
+    union-time collates), de-normalized when the request carried stats."""
+    pmask = out["mask_predicted_data"]  # [B, T, D]
+    results = []
+    for i, (chunk, mean, std) in enumerate(built):
+        rows = np.nonzero(pmask[i].any(axis=-1))[0]
+        tp = np.sort(chunk.tt[chunk.tt >= cfg.history])
+        y = pred[i, rows][: len(tp)]
+        if mean is not None:
+            y = y * std + mean
+        results.append({"tp": tp.tolist(),
+                        "prediction": np.asarray(y, np.float64).tolist()})
+    return results
+
+
 class ForecastService:
     """Restores one experiment and serves micro-batched forecasts.
 
@@ -266,25 +312,9 @@ class ForecastService:
             note_times=note_times, note_payloads=payloads,
         )
 
-    def _collate(self, chunks: list[Chunk]) -> dict:
-        cfg = self.cfg
-        if cfg.model == "tPatchGNN":
-            out = C.patch_collate(chunks, cfg.history, self.time_max,
-                                  cfg.pred_len, cfg.patch_size,
-                                  cfg.patch_stride, cfg.npatch)
-        elif cfg.model == "CRU":
-            out = C.cru_collate(chunks, cfg.history, self.time_max,
-                                cfg.input_len, cfg.pred_len)
-        elif cfg.model == "LatentODE":
-            out = C.ode_collate(chunks, cfg.history, self.time_max)
-        else:
-            out = C.standard_collate(chunks, cfg.history, self.time_max,
-                                     cfg.input_len, cfg.pred_len)
-        n_notes = max([len(c.note_times) for c in chunks], default=0)
-        n_notes = C.pad_to_bucket(max(n_notes, 1)) if cfg.enable_text else 0
-        out = C.add_multimodal(out, chunks, cfg.enable_text,
-                               cfg.use_text_embeddings, n_notes, self.d_txt)
-        out = _pad_batch_dim(out, len(chunks), self.max_batch)
+    def _collate(self, chunks: list[Chunk], pad_to: int | None = None) -> dict:
+        out = collate_chunks(self.cfg, chunks, self.d_txt, self.time_max,
+                             pad_to or self.max_batch)
         self._proxy.batch = out
         return next(iter(self._stage_top))
 
@@ -405,17 +435,4 @@ class ForecastService:
         dev = {k: jnp.asarray(v) for k, v in out.items()
                if isinstance(v, np.ndarray)}
         pred = np.asarray(self._infer_fn(self.params, self.stats, dev))
-
-        # per-instance slot gather: rows the instance's pred mask marks
-        # (works uniformly across per-instance AND union-time collates)
-        pmask = out["mask_predicted_data"]  # [B, T, D]
-        results = []
-        for i, (chunk, mean, std) in enumerate(built):
-            rows = np.nonzero(pmask[i].any(axis=-1))[0]
-            tp = np.sort(chunk.tt[chunk.tt >= self.cfg.history])
-            y = pred[i, rows][: len(tp)]
-            if mean is not None:
-                y = y * std + mean
-            results.append({"tp": tp.tolist(),
-                            "prediction": np.asarray(y, np.float64).tolist()})
-        return results
+        return gather_results(self.cfg, built, out, pred)

@@ -31,7 +31,7 @@ def main(argv=None):
 
     enable_persistent_compile_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
-    pre = argparse.ArgumentParser(add_help=False)
+    pre = argparse.ArgumentParser(add_help=False, allow_abbrev=False)
     pre.add_argument("--split", choices=["train", "val", "test"], default="test")
     pre.add_argument("--out", default=None, help="write predictions .npz here")
     pre_args, rest = pre.parse_known_args(argv)

@@ -28,7 +28,7 @@ def build_service(argv):
     from imm_tsf_tpu.utils.compile_cache import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()
-    pre = argparse.ArgumentParser(add_help=False)
+    pre = argparse.ArgumentParser(add_help=False, allow_abbrev=False)
     pre.add_argument("--port", type=int, default=8000)
     pre.add_argument("--host", default="127.0.0.1")
     pre.add_argument("--max_batch", type=int, default=32)

@@ -1,0 +1,116 @@
+"""AOT export tests: jax.export artifact round-trip vs the live service.
+
+The torch reference has no deployment/export path; this subsystem is
+framework-new (imm_tsf_tpu/export.py)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from imm_tsf_tpu.config import Config
+from imm_tsf_tpu.training.trainer import trainable
+
+
+@pytest.fixture(scope="module")
+def trained_exp(synth_root, tmp_path_factory):
+    ck = str(tmp_path_factory.mktemp("exp") / "experiment_export1")
+    cfg = Config(
+        dataset="EPA-Air", data_root=synth_root, model="DLinear",
+        history=7, pred_window=7, stride=7, time_unit="days",
+        batch_size=16, epoch=2, patience=2, seed=1,
+    )
+    res = trainable(cfg, checkpoint_dir=ck)
+    return ck, cfg, res
+
+
+def _instances(cfg, k):
+    from imm_tsf_tpu.data.loader import parse_datasets
+
+    ds = parse_datasets(cfg, verbose=False)["ds"]
+    out = []
+    for chunk in ds.chunks[:k]:
+        hist = chunk.tt < cfg.history
+        out.append({
+            "observed_tp": chunk.tt[hist].tolist(),
+            "observed_data": chunk.vals[hist].tolist(),
+            "observed_mask": chunk.mask[hist].tolist(),
+            "tp_to_predict": chunk.tt[~hist].tolist(),
+        })
+    return out
+
+
+def test_export_artifact_matches_live_service(trained_exp, tmp_path):
+    """Exported StableHLO programs reproduce the live ForecastService's
+    predictions exactly (same weights baked in, same collate), across
+    the batch-size program menu."""
+    from imm_tsf_tpu.export import ExportedForecaster, export_experiment
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck, cfg, _ = trained_exp
+    art = str(tmp_path / "artifact")
+    meta = export_experiment(ck, art, batch_sizes=(2, 4))
+    assert meta["batch_sizes"] == [2, 4]
+    assert os.path.exists(os.path.join(art, "forecast_b2.jaxexport"))
+    assert os.path.exists(os.path.join(art, "forecast_b4.jaxexport"))
+    assert json.load(open(os.path.join(art, "meta.json"))) == meta
+
+    insts = _instances(cfg, 3)
+    fc = ExportedForecaster(art)
+    got = fc.forecast(insts)  # 3 instances -> the b=4 program
+
+    svc = ForecastService(ck, max_batch=4, max_wait_ms=1.0)
+    try:
+        want = svc.forecast(insts)
+    finally:
+        svc.close()
+
+    assert len(got) == len(want) == 3
+    for g, w in zip(got, want):
+        assert g["tp"] == w["tp"]
+        np.testing.assert_allclose(
+            np.asarray(g["prediction"]), np.asarray(w["prediction"]),
+            rtol=1e-5, atol=1e-6)
+
+    # single instance -> the b=2 program; same instance, same answer
+    solo = fc.forecast(insts[:1])
+    np.testing.assert_allclose(
+        np.asarray(solo[0]["prediction"]),
+        np.asarray(got[0]["prediction"]), rtol=1e-5, atol=1e-6)
+
+    # batch overflow is a clear client error, not a truncation
+    with pytest.raises(ValueError, match="exceed the largest exported"):
+        fc.forecast(_instances(cfg, 5))
+
+
+def test_export_multiplatform_from_cpu_host(trained_exp, tmp_path):
+    """platforms=('cpu','tpu') lowers the program for BOTH backends on the
+    CPU host — artifacts for TPU serving are built without a TPU attached
+    (the deserialized program platform-checks at call time)."""
+    from imm_tsf_tpu.export import ExportedForecaster, export_experiment
+
+    ck, cfg, _ = trained_exp
+    art = str(tmp_path / "artifact_mp")
+    meta = export_experiment(ck, art, batch_sizes=(2,),
+                             platforms=("cpu", "tpu"))
+    assert meta["platforms"] == ["cpu", "tpu"]
+    fc = ExportedForecaster(art)
+    out = fc.forecast(_instances(cfg, 1))  # runs on the cpu branch here
+    assert np.isfinite(np.asarray(out[0]["prediction"])).all()
+
+
+def test_export_rejects_latent_ode(tmp_path):
+    from imm_tsf_tpu.export import export_experiment
+
+    with pytest.raises(ValueError, match="LatentODE"):
+        export_experiment(str(tmp_path / "nope"), str(tmp_path / "art"),
+                          cfg=Config(model="LatentODE"))
+
+
+def test_export_requires_valid_batch_sizes(tmp_path):
+    from imm_tsf_tpu.export import export_experiment
+
+    with pytest.raises(ValueError, match="positive"):
+        export_experiment(str(tmp_path / "nope"), str(tmp_path / "art"),
+                          cfg=Config(), batch_sizes=(0,))
