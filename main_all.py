@@ -166,12 +166,17 @@ def _wait_for_backend(interval_s: float = 60.0, timeout_s: float = 3600.0,
     backend die, retrying in-process hits cached/poisoned backend state,
     and a dead remote tunnel can HANG backend discovery rather than
     erroring — so each probe gets its own interpreter and a hard kill.
+    The default probe demands a non-cpu device: with discovery order
+    "accelerator,cpu" a dead tunnel silently falls back to CPU, and
+    `jax.devices()` alone would report recovery that never happened
+    (elastic recovery targets accelerator outages — a CPU-pinned sweep
+    has no transient backend to lose).
     """
     import subprocess
 
     argv = probe_argv or [
         sys.executable, "-c",
-        "import jax; assert jax.devices()",
+        "import jax; assert any(d.platform != 'cpu' for d in jax.devices())",
     ]
     deadline = time.time() + timeout_s
     while True:
