@@ -73,6 +73,12 @@ def export_experiment(checkpoint_dir: str, out_dir: str,
     try:
         notes_cap = C.pad_to_bucket(max(int(max_notes), 1)) \
             if cfg.enable_text else 0
+        # tPatchGNN's per-patch axis is content-dependent (the live
+        # service compiles per bucket); pin it to its provable ceiling —
+        # a patch never holds more observed points than the whole history
+        # window (input_len, enforced per request by _build_chunk)
+        patch_cap = C.pad_to_bucket(cfg.input_len) \
+            if cfg.model == "tPatchGNN" else 0
 
         params, stats = svc.params, svc.stats
         infer = svc._infer_fn
@@ -86,7 +92,8 @@ def export_experiment(checkpoint_dir: str, out_dir: str,
             # collate + loader stages (TimeLLM prompts etc.), notes axis
             # pinned to the artifact-wide cap
             out = collate_chunks(cfg, [svc._dummy_chunk()], svc.d_txt,
-                                 svc.time_max, B, n_notes=notes_cap)
+                                 svc.time_max, B, n_notes=notes_cap,
+                                 max_patch_len=patch_cap or None)
             svc._proxy.batch = out
             batch = next(iter(svc._stage_top))
             spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
@@ -120,6 +127,7 @@ def export_experiment(checkpoint_dir: str, out_dir: str,
             "batch_sizes": batch_sizes,
             "platforms": exported_platforms,
             "notes_cap": notes_cap,
+            "patch_cap": patch_cap,
             "d_txt": svc.d_txt,
             "best_epoch": int(svc.step),
             "jax_version": jax.__version__,
@@ -156,6 +164,7 @@ class ExportedForecaster:
         self.cfg = load_saved_config(os.path.join(artifact_dir, "config.json"))
         self.d_txt = int(self.meta["d_txt"])
         self.notes_cap = int(self.meta["notes_cap"])
+        self.patch_cap = int(self.meta.get("patch_cap", 0))
         self.time_max = float(self.cfg.history + self.cfg.pred_window)
         self._programs = {}
         for B in self.meta["batch_sizes"]:
@@ -192,7 +201,8 @@ class ExportedForecaster:
                     f"{worst} notes exceed the artifact's notes_cap "
                     f"{self.notes_cap} (re-export with a larger max_notes)")
         out = collate_chunks(self.cfg, [c for c, _, _ in built], self.d_txt,
-                             self.time_max, B, n_notes=self.notes_cap)
+                             self.time_max, B, n_notes=self.notes_cap,
+                             max_patch_len=self.patch_cap or None)
         self._proxy.batch = out
         out = next(iter(self._stage_top))
         dev = {k: jnp.asarray(v) for k, v in out.items()

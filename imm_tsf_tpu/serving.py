@@ -168,16 +168,19 @@ def _build_chunk(inst: dict, cfg: Config, d_txt: int) -> tuple[Chunk, np.ndarray
 
 def collate_chunks(cfg: Config, chunks: list[Chunk], d_txt: int,
                    time_max: float, pad_to: int,
-                   n_notes: int | None = None) -> dict:
+                   n_notes: int | None = None,
+                   max_patch_len: int | None = None) -> dict:
     """Collate request chunks through the exact training-time collate for
     cfg's model family, batch-padded to the static size `pad_to`. Shared
     by the live service and the AOT-exported artifact path (export.py).
-    n_notes pins the notes axis to a fixed size (exported programs have
-    one static notes shape; the live service buckets per batch)."""
+    n_notes / max_patch_len pin the notes and per-patch axes to fixed
+    sizes (exported programs have ONE static shape; the live service
+    buckets per batch)."""
     if cfg.model == "tPatchGNN":
         out = C.patch_collate(chunks, cfg.history, time_max,
                               cfg.pred_len, cfg.patch_size,
-                              cfg.patch_stride, cfg.npatch)
+                              cfg.patch_stride, cfg.npatch,
+                              max_patch_len=max_patch_len)
     elif cfg.model == "CRU":
         out = C.cru_collate(chunks, cfg.history, time_max,
                             cfg.input_len, cfg.pred_len)

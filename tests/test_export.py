@@ -100,6 +100,38 @@ def test_export_multiplatform_from_cpu_host(trained_exp, tmp_path):
     assert np.isfinite(np.asarray(out[0]["prediction"])).all()
 
 
+@pytest.mark.parametrize("model", ["PatchTST", "CRU", "tPatchGNN"])
+def test_export_other_collate_families(model, synth_root, tmp_path):
+    """Every exportable collate family round-trips: standard (PatchTST),
+    CRU raw-time, and tPatchGNN patch collates."""
+    from imm_tsf_tpu.export import ExportedForecaster, export_experiment
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck = str(tmp_path / f"experiment_{model}")
+    cfg = Config(
+        dataset="EPA-Air", data_root=synth_root, model=model,
+        history=7, pred_window=7, stride=7, time_unit="days",
+        batch_size=16, epoch=1, patience=1, seed=1,
+    )
+    trainable(cfg, checkpoint_dir=ck)
+
+    art = str(tmp_path / f"artifact_{model}")
+    export_experiment(ck, art, batch_sizes=(2,))
+    insts = _instances(cfg, 2)
+    got = ExportedForecaster(art).forecast(insts)
+
+    svc = ForecastService(ck, max_batch=2, max_wait_ms=1.0)
+    try:
+        want = svc.forecast(insts)
+    finally:
+        svc.close()
+    for g, w in zip(got, want):
+        assert g["tp"] == w["tp"]
+        np.testing.assert_allclose(
+            np.asarray(g["prediction"]), np.asarray(w["prediction"]),
+            rtol=1e-5, atol=1e-6)
+
+
 def test_export_rejects_latent_ode(tmp_path):
     from imm_tsf_tpu.export import export_experiment
 
