@@ -147,6 +147,9 @@ class ExportedForecaster:
     Same instance schema as ForecastService.forecast (serving.py
     docstring); synchronous, no micro-batching thread (batch your own
     requests — the artifact holds one program per exported batch size).
+    Duck-compatible with serve.py's handler (cfg/step/max_batch/forecast/
+    metrics/close), so `serve.py --artifact <dir>` serves REST from an
+    artifact; concurrent forecast() calls serialize on an internal lock.
     """
 
     def __init__(self, artifact_dir: str):
@@ -180,7 +183,22 @@ class ExportedForecaster:
             stage = wrap(stage)
         self._stage_top = stage
 
+        # serve.py handler compatibility
+        import threading
+        import time as _time
+
+        self.step = int(self.meta.get("best_epoch", 0))
+        self.max_batch = max(self._programs)
+        self._lock = threading.Lock()
+        self._t_start = _time.monotonic()
+        self._n_requests = 0
+        self._n_errors = 0
+        self._n_dispatches = 0
+        self._lat_ring: list[float] = []
+
     def forecast(self, instances: list[dict]) -> list[dict]:
+        import time as _time
+
         import jax.numpy as jnp
 
         from .serving import _build_chunk, collate_chunks, gather_results
@@ -200,12 +218,55 @@ class ExportedForecaster:
                 raise ValueError(
                     f"{worst} notes exceed the artifact's notes_cap "
                     f"{self.notes_cap} (re-export with a larger max_notes)")
-        out = collate_chunks(self.cfg, [c for c, _, _ in built], self.d_txt,
-                             self.time_max, B, n_notes=self.notes_cap,
-                             max_patch_len=self.patch_cap or None)
-        self._proxy.batch = out
-        out = next(iter(self._stage_top))
-        dev = {k: jnp.asarray(v) for k, v in out.items()
-               if isinstance(v, np.ndarray)}
-        pred = np.asarray(self._programs[B].call(dev))
-        return gather_results(self.cfg, built, out, pred)
+        t0 = _time.monotonic()
+        with self._lock:  # the proxy/stage chain is single-batch state
+            try:
+                out = collate_chunks(self.cfg, [c for c, _, _ in built],
+                                     self.d_txt, self.time_max, B,
+                                     n_notes=self.notes_cap,
+                                     max_patch_len=self.patch_cap or None)
+                self._proxy.batch = out
+                out = next(iter(self._stage_top))
+                dev = {k: jnp.asarray(v) for k, v in out.items()
+                       if isinstance(v, np.ndarray)}
+                pred = np.asarray(self._programs[B].call(dev))
+                results = gather_results(self.cfg, built, out, pred)
+            except Exception:
+                self._n_errors += n
+                raise
+            finally:
+                self._n_requests += n
+                self._n_dispatches += 1
+                self._lat_ring.append(_time.monotonic() - t0)
+                if len(self._lat_ring) > 1024:
+                    del self._lat_ring[:512]
+        return results
+
+    def metrics(self) -> dict:
+        import time as _time
+
+        with self._lock:
+            lat = np.asarray(self._lat_ring, dtype=np.float64)
+            out = {
+                "uptime_s": round(_time.monotonic() - self._t_start, 3),
+                "requests_total": self._n_requests,
+                "request_errors_total": self._n_errors,
+                "dispatches_total": self._n_dispatches,
+                "mean_batch_size": round(
+                    self._n_requests / self._n_dispatches, 3)
+                if self._n_dispatches else None,
+                "queue_depth": 0,  # artifact mode has no batcher queue
+                "model": self.cfg.model,
+                "best_epoch": self.step,
+                "artifact": True,
+            }
+        if len(lat):
+            out["dispatch_latency_ms"] = {
+                "p50": round(float(np.percentile(lat, 50)) * 1e3, 3),
+                "p95": round(float(np.percentile(lat, 95)) * 1e3, 3),
+                "max": round(float(lat.max()) * 1e3, 3),
+            }
+        return out
+
+    def close(self):  # serve.py shutdown hook; nothing to stop
+        pass

@@ -33,6 +33,10 @@ def build_service(argv):
     pre.add_argument("--host", default="127.0.0.1")
     pre.add_argument("--max_batch", type=int, default=32)
     pre.add_argument("--max_wait_ms", type=float, default=5.0)
+    pre.add_argument("--artifact", default=None,
+                     help="serve an AOT-exported artifact directory "
+                          "(export_model.py) instead of restoring a "
+                          "checkpoint — no model code or weights needed")
     pre_args, rest = pre.parse_known_args(argv)
 
     from main import fixed_params, get_args_from_parser, tunable_params
@@ -40,8 +44,14 @@ def build_service(argv):
     from imm_tsf_tpu.config import (apply_presets, resolve_max_length,
                                     restore_experiment_config)
     from imm_tsf_tpu.serving import ForecastService
+    from imm_tsf_tpu.utils.platform import pin_platform
 
     cli = get_args_from_parser(rest)
+    if pre_args.artifact is not None:
+        from imm_tsf_tpu.export import ExportedForecaster
+
+        pin_platform(cli.platform)
+        return ExportedForecaster(pre_args.artifact), pre_args
     if cli.load is None:
         pre.error("serve.py requires --load <ExpID> (a trained experiment)")
     ck_dir = f"{cli.save.rstrip('/')}/experiment_{cli.load}"
@@ -58,8 +68,6 @@ def build_service(argv):
         cfg = apply_presets(cli, fixed_params, tunable_params)
         if cfg.enable_text:
             cfg = resolve_max_length(cfg)
-
-    from imm_tsf_tpu.utils.platform import pin_platform
 
     pin_platform(cfg.platform)  # before ForecastService's first backend init
     svc = ForecastService(ck_dir, cfg=cfg, max_batch=pre_args.max_batch,

@@ -132,6 +132,68 @@ def test_export_other_collate_families(model, synth_root, tmp_path):
             rtol=1e-5, atol=1e-6)
 
 
+def test_http_server_artifact_mode(trained_exp, tmp_path):
+    """serve.py --artifact serves the exported programs over REST:
+    /healthz, /v1/forecast and /metrics, no checkpoint restore."""
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from serve import build_service, make_handler
+
+    ck, cfg, _ = trained_exp
+    art = str(tmp_path / "artifact_http")
+    from imm_tsf_tpu.export import export_experiment
+
+    export_experiment(ck, art, batch_sizes=(2, 4))
+    svc, _pre = build_service(["--artifact", art])
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            health = _json.loads(r.read())
+        assert health["ok"] and health["model"] == "DLinear"
+
+        insts = _instances(cfg, 2)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/forecast",
+            data=_json.dumps({"instances": insts}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            body = _json.loads(r.read())
+        assert len(body["predictions"]) == 2
+        for p in body["predictions"]:
+            arr = np.asarray(p["prediction"])
+            assert arr.shape == (len(p["tp"]), svc.cfg.input_dim)
+            assert np.isfinite(arr).all()
+
+        # oversized batch -> 400 client error (no exported program fits)
+        big = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/forecast",
+            data=_json.dumps({"instances": _instances(cfg, 5)}).encode(),
+            headers={"Content-Type": "application/json"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(big, timeout=30)
+        assert ei.value.code == 400
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=30) as r:
+            m = _json.loads(r.read())
+        assert m["artifact"] is True
+        # request-validation rejections (the 400 above) never reach the
+        # dispatch path, matching the live service's counter semantics
+        assert m["requests_total"] == 2 and m["request_errors_total"] == 0
+        assert m["dispatch_latency_ms"]["p50"] > 0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+        svc.close()
+
+
 def test_export_rejects_latent_ode(tmp_path):
     from imm_tsf_tpu.export import export_experiment
 
