@@ -194,6 +194,57 @@ def test_http_server_artifact_mode(trained_exp, tmp_path):
         svc.close()
 
 
+def test_export_text_fusion(synth_root, tmp_path):
+    """Text-fusion artifact: notes axis pinned to the export-time cap,
+    per-request note embeddings, parity with the live service."""
+    from imm_tsf_tpu.export import ExportedForecaster, export_experiment
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck = str(tmp_path / "experiment_text")
+    cfg = Config(
+        dataset="EPA-Air", data_root=synth_root, model="DLinear",
+        history=7, pred_window=7, stride=7, time_unit="days",
+        batch_size=16, epoch=1, patience=1, seed=1,
+        enable_text=True, use_text_embeddings=True,
+        llm_model_fusion="GPT2", llm_layers_fusion=6,
+        TTF_module="TTF_RecAvg", MMF_module="MMF_GR_Add", d_txt=16,
+    )
+    trainable(cfg, checkpoint_dir=ck)
+
+    art = str(tmp_path / "artifact_text")
+    meta = export_experiment(ck, art, batch_sizes=(2,), max_notes=3)
+    assert meta["notes_cap"] >= 3 and meta["enable_text"]
+
+    from imm_tsf_tpu.data.loader import parse_datasets
+
+    data_obj = parse_datasets(cfg, verbose=False)
+    ds = data_obj["ds"]
+    insts = _instances(cfg, 2)
+    for inst, chunk in zip(insts, ds.chunks[:2]):
+        inst["notes"] = [
+            {"tau": float(t), "embedding": np.asarray(e, np.float32).tolist()}
+            for t, e in zip(chunk.note_times[:3], chunk.note_payloads[:3])
+        ]
+
+    fc = ExportedForecaster(art)
+    got = fc.forecast(insts)
+    svc = ForecastService(ck, max_batch=2, max_wait_ms=1.0)
+    try:
+        want = svc.forecast(insts)
+    finally:
+        svc.close()
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g["prediction"]), np.asarray(w["prediction"]),
+            rtol=1e-5, atol=1e-6)
+
+    # more notes than the artifact's cap -> clear client error
+    over = dict(insts[0])
+    over["notes"] = [{"tau": 0.0, "embedding": [0.0] * 16}] * 10
+    with pytest.raises(ValueError, match="notes_cap"):
+        fc.forecast([over])
+
+
 def test_export_rejects_latent_ode(tmp_path):
     from imm_tsf_tpu.export import export_experiment
 
