@@ -38,9 +38,10 @@ def main(argv=None):
                      help="static notes-axis cap for text experiments")
     pre_args, rest = pre.parse_known_args(argv)
 
-    from main import get_args_from_parser
+    from main import fixed_params, get_args_from_parser, tunable_params
 
-    from imm_tsf_tpu.config import restore_experiment_config
+    from imm_tsf_tpu.config import (apply_presets, resolve_max_length,
+                                    restore_experiment_config)
     from imm_tsf_tpu.export import export_experiment
     from imm_tsf_tpu.utils.platform import pin_platform
 
@@ -52,9 +53,15 @@ def main(argv=None):
     ck_dir = f"{cli.save.rstrip('/')}/experiment_{cli.load}"
     cfg = restore_experiment_config(cli, rest, ck_dir)
     if cfg is None:
-        print(f"# {ck_dir}/config.json not found: using CLI flags",
+        # pre-config.json experiment: legacy path — the user must re-pass
+        # the full training flag set (same fallback as serve.py/predict.py;
+        # raw CLI flags without presets would export wrong geometry)
+        print(f"# {ck_dir}/config.json not found (experiment predates "
+              f"config persistence): using CLI flags + presets",
               file=sys.stderr)
-        cfg = cli
+        cfg = apply_presets(cli, fixed_params, tunable_params)
+        if cfg.enable_text:
+            cfg = resolve_max_length(cfg)
     out_dir = pre_args.out or f"artifacts/{cli.load}"
 
     meta = export_experiment(ck_dir, out_dir, cfg=cfg,

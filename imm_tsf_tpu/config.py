@@ -419,17 +419,25 @@ def apply_presets(
     return cfg
 
 
+# Execution-environment knobs that must NOT travel with an experiment:
+# they describe the machine a run happened on, not the experiment itself.
+# A training run pinned to CPU (accelerator/tunnel down) must not force
+# every later serve/predict/export of that experiment onto CPU.
+EPHEMERAL_FIELDS = frozenset({"platform"})
+
+
 def load_saved_config(path: str) -> Config:
     """Restore a Config from the `config.json` trainable() writes next to
     an experiment's checkpoints. Tuple-typed fields come back from JSON as
-    lists and are re-tupled; unknown keys (from older/newer versions) are
-    ignored so checkpoints stay loadable across config evolution."""
+    lists and are re-tupled; unknown keys (from older/newer versions) and
+    EPHEMERAL_FIELDS (machine-local knobs like --platform) are ignored so
+    checkpoints stay loadable across config evolution."""
     with open(path) as f:
         d = json.load(f)
     names = {f.name for f in dataclasses.fields(Config)}
     kw = {}
     for k, v in d.items():
-        if k not in names:
+        if k not in names or k in EPHEMERAL_FIELDS:
             continue
         kw[k] = tuple(v) if isinstance(v, list) else v
     return Config(**kw)

@@ -37,6 +37,7 @@ import os
 import numpy as np
 
 from .config import Config, load_saved_config
+from .serving import _MetricsMixin
 
 ARTIFACT_VERSION = 1
 
@@ -108,16 +109,13 @@ def export_experiment(checkpoint_dir: str, out_dir: str,
                 for k, v in spec.items()
             }
 
-        # the resolved config: from the experiment's persisted config.json
-        # when present, else the cfg handed in
-        src_cfg = os.path.join(checkpoint_dir, "config.json")
-        if os.path.exists(src_cfg):
-            with open(src_cfg) as f:
-                cfg_payload = json.load(f)
-        else:
-            cfg_payload = dataclasses.asdict(cfg)
+        # the config the programs were ACTUALLY exported with — including
+        # any CLI overrides export_model.py overlaid (the persisted
+        # experiment config may differ, e.g. --pred_len at export time);
+        # platform is a machine-local knob, never artifact config
         with open(os.path.join(out_dir, "config.json"), "w") as f:
-            json.dump(cfg_payload, f, indent=2)
+            json.dump(dataclasses.asdict(cfg.replace(platform="auto")),
+                      f, indent=2)
 
         meta = {
             "artifact_version": ARTIFACT_VERSION,
@@ -140,7 +138,7 @@ def export_experiment(checkpoint_dir: str, out_dir: str,
         svc.close()
 
 
-class ExportedForecaster:
+class ExportedForecaster(_MetricsMixin):
     """Serve forecasts from an exported artifact — no model code, no
     weight restore; the programs carry the trained weights as constants.
 
@@ -185,16 +183,11 @@ class ExportedForecaster:
 
         # serve.py handler compatibility
         import threading
-        import time as _time
 
         self.step = int(self.meta.get("best_epoch", 0))
         self.max_batch = max(self._programs)
         self._lock = threading.Lock()
-        self._t_start = _time.monotonic()
-        self._n_requests = 0
-        self._n_errors = 0
-        self._n_dispatches = 0
-        self._lat_ring: list[float] = []
+        self._init_metrics()
 
     def forecast(self, instances: list[dict]) -> list[dict]:
         import time as _time
@@ -206,6 +199,8 @@ class ExportedForecaster:
         built = [_build_chunk(inst, self.cfg, self.d_txt)
                  for inst in instances]
         n = len(built)
+        if n == 0:  # match ForecastService.forecast([]) == []
+            return []
         sizes = [B for B in self._programs if B >= n]
         if not sizes:
             raise ValueError(
@@ -219,6 +214,7 @@ class ExportedForecaster:
                     f"{worst} notes exceed the artifact's notes_cap "
                     f"{self.notes_cap} (re-export with a larger max_notes)")
         t0 = _time.monotonic()
+        err = 0
         with self._lock:  # the proxy/stage chain is single-batch state
             try:
                 out = collate_chunks(self.cfg, [c for c, _, _ in built],
@@ -232,41 +228,14 @@ class ExportedForecaster:
                 pred = np.asarray(self._programs[B].call(dev))
                 results = gather_results(self.cfg, built, out, pred)
             except Exception:
-                self._n_errors += n
+                err = n
                 raise
             finally:
-                self._n_requests += n
-                self._n_dispatches += 1
-                self._lat_ring.append(_time.monotonic() - t0)
-                if len(self._lat_ring) > 1024:
-                    del self._lat_ring[:512]
+                self._record_dispatch(n, err, _time.monotonic() - t0)
         return results
 
     def metrics(self) -> dict:
-        import time as _time
-
-        with self._lock:
-            lat = np.asarray(self._lat_ring, dtype=np.float64)
-            out = {
-                "uptime_s": round(_time.monotonic() - self._t_start, 3),
-                "requests_total": self._n_requests,
-                "request_errors_total": self._n_errors,
-                "dispatches_total": self._n_dispatches,
-                "mean_batch_size": round(
-                    self._n_requests / self._n_dispatches, 3)
-                if self._n_dispatches else None,
-                "queue_depth": 0,  # artifact mode has no batcher queue
-                "model": self.cfg.model,
-                "best_epoch": self.step,
-                "artifact": True,
-            }
-        if len(lat):
-            out["dispatch_latency_ms"] = {
-                "p50": round(float(np.percentile(lat, 50)) * 1e3, 3),
-                "p95": round(float(np.percentile(lat, 95)) * 1e3, 3),
-                "max": round(float(lat.max()) * 1e3, 3),
-            }
-        return out
+        return {**super().metrics(), "artifact": True}
 
     def close(self):  # serve.py shutdown hook; nothing to stop
         pass

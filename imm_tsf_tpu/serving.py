@@ -215,7 +215,65 @@ def gather_results(cfg: Config, built: list[tuple], out: dict,
     return results
 
 
-class ForecastService:
+class _MetricsMixin:
+    """Shared observability counters + /metrics payload for the live
+    service and the AOT artifact server (export.ExportedForecaster).
+    Subclasses need `self.cfg` and `self.step`, call `_init_metrics()` in
+    __init__ and `_record_dispatch` after every device dispatch."""
+
+    def _init_metrics(self) -> None:
+        import time as _time
+
+        self._t_start = _time.monotonic()
+        self._m_lock = threading.Lock()
+        self._n_requests = 0
+        self._n_errors = 0
+        self._n_dispatches = 0
+        self._lat_ring: list[float] = []  # last 1024 dispatch latencies (s)
+
+    def _record_dispatch(self, n_requests: int, n_errors: int,
+                         dt: float) -> None:
+        with self._m_lock:
+            self._n_requests += n_requests
+            self._n_errors += n_errors
+            self._n_dispatches += 1
+            self._lat_ring.append(dt)
+            if len(self._lat_ring) > 1024:
+                del self._lat_ring[:512]
+
+    def _queue_depth(self) -> int:
+        return 0  # overridden by the micro-batching service
+
+    def metrics(self) -> dict:
+        """Service counters for monitoring (serve.py exposes at /metrics).
+        Dispatch latency includes host collate + device compute; the first
+        dispatches include XLA compiles."""
+        import time as _time
+
+        with self._m_lock:
+            lat = np.asarray(self._lat_ring, dtype=np.float64)
+            n_req, n_err = self._n_requests, self._n_errors
+            n_disp = self._n_dispatches
+        out = {
+            "uptime_s": round(_time.monotonic() - self._t_start, 3),
+            "requests_total": n_req,
+            "request_errors_total": n_err,
+            "dispatches_total": n_disp,
+            "mean_batch_size": round(n_req / n_disp, 3) if n_disp else None,
+            "queue_depth": self._queue_depth(),
+            "model": self.cfg.model,
+            "best_epoch": int(self.step),
+        }
+        if len(lat):
+            out["dispatch_latency_ms"] = {
+                "p50": round(float(np.percentile(lat, 50)) * 1e3, 3),
+                "p95": round(float(np.percentile(lat, 95)) * 1e3, 3),
+                "max": round(float(lat.max()) * 1e3, 3),
+            }
+        return out
+
+
+class ForecastService(_MetricsMixin):
     """Restores one experiment and serves micro-batched forecasts.
 
     Use `forecast(instances)` for a synchronous call, `submit(instance)`
@@ -282,15 +340,7 @@ class ForecastService:
         self._closed = False
         self._lock = threading.Lock()  # orders submit() vs close()
 
-        # observability counters (exposed by serve.py's /metrics)
-        import time as _time
-
-        self._t_start = _time.monotonic()
-        self._m_lock = threading.Lock()
-        self._n_requests = 0
-        self._n_errors = 0
-        self._n_dispatches = 0
-        self._lat_ring: list[float] = []  # last 1024 dispatch latencies (s)
+        self._init_metrics()  # serve.py's /metrics counters
 
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
@@ -393,42 +443,10 @@ class ForecastService:
                 if not fut.done():
                     fut.set_exception(e)
             err = len(batch)
-        dt = _time.monotonic() - t0
-        with self._m_lock:
-            self._n_requests += len(batch)
-            self._n_errors += err
-            self._n_dispatches += 1
-            self._lat_ring.append(dt)
-            if len(self._lat_ring) > 1024:
-                del self._lat_ring[:512]
+        self._record_dispatch(len(batch), err, _time.monotonic() - t0)
 
-    def metrics(self) -> dict:
-        """Service counters for monitoring (serve.py exposes at /metrics).
-        Dispatch latency includes host collate + device compute; the first
-        dispatches include XLA compiles."""
-        import time as _time
-
-        with self._m_lock:
-            lat = np.asarray(self._lat_ring, dtype=np.float64)
-            n_req, n_err = self._n_requests, self._n_errors
-            n_disp = self._n_dispatches
-        out = {
-            "uptime_s": round(_time.monotonic() - self._t_start, 3),
-            "requests_total": n_req,
-            "request_errors_total": n_err,
-            "dispatches_total": n_disp,
-            "mean_batch_size": round(n_req / n_disp, 3) if n_disp else None,
-            "queue_depth": self._q.qsize(),
-            "model": self.cfg.model,
-            "best_epoch": int(self.step),
-        }
-        if len(lat):
-            out["dispatch_latency_ms"] = {
-                "p50": round(float(np.percentile(lat, 50)) * 1e3, 3),
-                "p95": round(float(np.percentile(lat, 95)) * 1e3, 3),
-                "max": round(float(lat.max()) * 1e3, 3),
-            }
-        return out
+    def _queue_depth(self) -> int:
+        return self._q.qsize()
 
     # ----------------------------------------------------------- compute
     def _infer(self, built: list[tuple]) -> list[dict]:

@@ -446,8 +446,12 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
         # requiring the user to re-pass every training flag (the reference
         # --load reuses only the experiment ID, main.py:724-729)
         os.makedirs(checkpoint_dir, exist_ok=True)
+        # platform is an execution-environment knob, not experiment config
+        # (config.EPHEMERAL_FIELDS): persisting a --platform cpu training
+        # pin would silently force all later serving of this experiment
+        # onto CPU
         with open(os.path.join(checkpoint_dir, "config.json"), "w") as f:
-            f.write(cfg.to_json())
+            f.write(cfg.replace(platform="auto").to_json())
 
     from ..data.loader import PrefetchIterator
 

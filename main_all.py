@@ -195,7 +195,16 @@ def _wait_for_backend(interval_s: float = 60.0, timeout_s: float = 3600.0,
 _MAX_RECOVERIES_ENV = "IMM_SWEEP_RECOVERIES"
 
 
-def _recover_and_reexec(args, exc) -> None:
+def _recovery_enabled(args) -> bool:
+    """Elastic recovery only makes sense when the work actually runs on
+    an accelerator: a CPU-pinned sweep has no transient backend to lose,
+    and the recovery probe (which demands a non-cpu device) would stall
+    for the full --recover_timeout before re-raising."""
+    plat = args.worker_platform if args.parallel > 1 else args.platform
+    return args.max_recoveries > 0 and plat != "cpu"
+
+
+def _recover_and_reexec(args, exc, effective_argv) -> None:
     """Wait out a transient accelerator outage, then re-exec the sweep.
 
     Re-exec (rather than retrying in-process) is what makes this safe:
@@ -223,7 +232,11 @@ def _recover_and_reexec(args, exc) -> None:
           f"{args.results_dir}", file=sys.stderr)
     sys.stdout.flush()
     sys.stderr.flush()
-    os.execv(sys.executable, [sys.executable] + sys.argv)
+    # re-exec THIS module with the argv main() actually received — under a
+    # programmatic caller (tests, wrapper scripts) sys.argv is the host
+    # process's command line, not the sweep's arguments
+    os.execv(sys.executable,
+             [sys.executable, os.path.abspath(__file__)] + list(effective_argv))
 
 
 def _init_worker(platform: str, counter) -> None:
@@ -238,6 +251,11 @@ def _init_worker(platform: str, counter) -> None:
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
         os.environ["JAX_PLATFORMS"] = "cpu"
     else:  # tpu: one chip per worker
+        # a cpu pin inherited from the parent's env (user shell, or a
+        # stray --platform) would silently override the explicit tpu
+        # request — clear it before the first jax import
+        os.environ.pop("JAX_PLATFORMS", None)
+        os.environ.pop("JAX_PLATFORM_NAME", None)
         os.environ["TPU_VISIBLE_DEVICES"] = str(idx)
         os.environ.setdefault("TPU_PROCESS_BOUNDS", "1,1,1")
     # after the platform env is pinned (this imports jax)
@@ -302,10 +320,15 @@ def main(argv=None):
                          "(e.g. cpu when the accelerator is down); parallel "
                          "workers use --worker_platform")
     args = ap.parse_args(argv)
+    effective_argv = list(sys.argv[1:]) if argv is None else list(argv)
 
-    from imm_tsf_tpu.utils.platform import pin_platform
+    if args.parallel <= 1:
+        # --platform is a SERIAL-run pin; in parallel mode workers use
+        # --worker_platform, and pinning the parent env here would leak
+        # into spawned workers and silently override --worker_platform tpu
+        from imm_tsf_tpu.utils.platform import pin_platform
 
-    pin_platform(args.platform)
+        pin_platform(args.platform)
 
     # text-on combos sweep the (restricted) fusion matrix; text-off runs
     # exactly once per (dataset, model) with the default pair — the
@@ -367,7 +390,7 @@ def main(argv=None):
                 try:
                     status, dt = fut.result()
                 except Exception as exc:
-                    if args.max_recoveries > 0 and \
+                    if _recovery_enabled(args) and \
                             _is_transient_accelerator_error(exc):
                         # recovery must wait for the finally below: os.execv
                         # never returns, so re-exec'ing here would skip pool
@@ -389,7 +412,8 @@ def main(argv=None):
                 if p.is_alive():
                     p.terminate()
         if transient_exc is not None:
-            _recover_and_reexec(args, transient_exc)  # re-exec or re-raise
+            _recover_and_reexec(args, transient_exc,
+                                effective_argv)  # re-exec or re-raise
     else:
         for idx, c in enumerate(combinations):
             print(f"[{idx + 1}/{len(combinations)}] {c}")
@@ -400,9 +424,10 @@ def main(argv=None):
                     results_dir, seeds=args.seeds, lrs=args.lrs,
                 )
             except Exception as exc:
-                if args.max_recoveries > 0 and \
+                if _recovery_enabled(args) and \
                         _is_transient_accelerator_error(exc):
-                    _recover_and_reexec(args, exc)  # re-exec or re-raise
+                    # re-exec or re-raise
+                    _recover_and_reexec(args, exc, effective_argv)
                 raise
             run_times.append((" | ".join(map(str, c)), dt))
 

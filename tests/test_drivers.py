@@ -189,7 +189,19 @@ def test_sweep_elastic_recovery_reexec(synth_root, tmp_path, monkeypatch):
         main_all.main(argv)
     assert calls["n"] == 1
     assert os.environ[main_all._MAX_RECOVERIES_ENV] == "1"
+    # re-exec must carry the argv main() received (NOT the host process's
+    # sys.argv — under pytest that would be pytest's own command line)
+    assert execed["argv"][2:] == argv
+    assert execed["argv"][1].endswith("main_all.py")
     monkeypatch.delenv(main_all._MAX_RECOVERIES_ENV, raising=False)
+
+    # a CPU-pinned sweep has no transient accelerator to lose: recovery
+    # must not stall in the (non-cpu-demanding) backend probe
+    monkeypatch.setattr(main_all, "_wait_for_backend",
+                        lambda **k: pytest.fail("probe ran with --platform cpu"))
+    with pytest.raises(RuntimeError, match="UNAVAILABLE"):
+        main_all.main(argv + ["--platform", "cpu"])
+    monkeypatch.setattr(main_all, "_wait_for_backend", lambda **k: True)
 
     # exhausted recovery budget -> the original error propagates
     monkeypatch.setenv(main_all._MAX_RECOVERIES_ENV, "8")
@@ -239,7 +251,9 @@ def test_sweep_elastic_recovery_parallel(synth_root, tmp_path, monkeypatch):
             "--datasets", "EPA-Air", "--models", "DLinear",
             "--enable_text", "0", "--epoch", "1",
             "--data_root", synth_root, "--results_dir", str(tmp_path / "r"),
-            "--parallel", "2",
+            # recovery is gated on the platform the work actually runs on:
+            # cpu workers (the default) have no transient backend to lose
+            "--parallel", "2", "--worker_platform", "tpu",
         ])
     assert shutdown["called"]  # pool cleaned up before os.execv
     assert os.environ[main_all._MAX_RECOVERIES_ENV] == "1"

@@ -84,6 +84,28 @@ def test_export_artifact_matches_live_service(trained_exp, tmp_path):
         fc.forecast(_instances(cfg, 5))
 
 
+def test_export_config_reflects_overrides(trained_exp, tmp_path):
+    """The artifact's config.json is the cfg the programs were ACTUALLY
+    exported with (export_model.py supports flag overlays), not a verbatim
+    copy of the experiment's persisted config; machine-local knobs
+    (platform) never travel with the artifact."""
+    from imm_tsf_tpu.export import ExportedForecaster, export_experiment
+
+    ck, cfg, _ = trained_exp
+    from imm_tsf_tpu.config import load_saved_config
+
+    over = load_saved_config(os.path.join(ck, "config.json")).replace(
+        lr=0.12345, platform="cpu")
+    art = str(tmp_path / "artifact_over")
+    export_experiment(ck, art, cfg=over, batch_sizes=(2,))
+    raw = json.load(open(os.path.join(art, "config.json")))
+    assert raw["lr"] == 0.12345  # the override, not the persisted value
+    assert raw["platform"] == "auto"  # ephemeral, reset
+
+    fc = ExportedForecaster(art)
+    assert fc.forecast([]) == []  # matches ForecastService.forecast([])
+
+
 def test_export_multiplatform_from_cpu_host(trained_exp, tmp_path):
     """platforms=('cpu','tpu') lowers the program for BOTH backends on the
     CPU host — artifacts for TPU serving are built without a TPU attached

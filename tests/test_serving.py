@@ -63,6 +63,18 @@ def test_config_json_persisted_and_restored(trained_exp):
     assert saved.input_len > 0 and saved.pred_len > 0 and saved.input_dim == 3
     assert saved.model == "DLinear" and saved.dataset == "EPA-Air"
     assert saved.mesh_shape == cfg.mesh_shape  # tuple round-trip
+    # --platform is an execution-environment knob (config.EPHEMERAL_FIELDS):
+    # a cpu-pinned TRAINING run must not pin later serving to cpu
+    import json
+
+    with open(path) as f:
+        raw = json.load(f)
+    assert raw.get("platform", "auto") == "auto"
+    with open(path, "w") as f:
+        json.dump({**raw, "platform": "cpu"}, f)  # legacy persisted pin
+    assert load_saved_config(path).platform == "auto"
+    with open(path, "w") as f:
+        json.dump(raw, f)  # restore for sibling tests on the fixture
 
 
 def test_service_matches_training_forward(trained_exp):
