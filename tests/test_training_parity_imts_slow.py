@@ -125,6 +125,14 @@ def _assert_parity(model, ours, ref, rel=0.12, floor=5e-3):
         model, ours["mae"], ref["mae"])
 
 
+def test_dlinear_training_quality_parity(synth_root):
+    """Plain DLinear — the last head-to-head hole in the PARITY.md table
+    (the r1 test asserted a tolerance but recorded no numbers)."""
+    ref = _train_reference(synth_root, "DLinear")
+    ours = _train_ours(synth_root, "DLinear")
+    _assert_parity("DLinear", ours, ref)
+
+
 def test_patchtst_training_quality_parity(synth_root):
     hp = dict(d_model=64, d_ff=128, n_heads=2, e_layers=1, dropout=0.1)
     ref = _train_reference(synth_root, "PatchTST", **hp)
