@@ -75,6 +75,10 @@ def _build_chunk(inst: dict, cfg: Config, d_txt: int) -> tuple[Chunk, np.ndarray
         tp_pred = np.asarray(inst["tp_to_predict"], dtype=np.float32)
     except (TypeError, ValueError) as e:
         raise ValueError(f"non-numeric request arrays: {e}") from None
+    if len(tt) == 0 and vals.size == 0:
+        # zero-observation (cold-start) request: JSON [] can't carry the
+        # [0, D] shape — normalize it; models handle all-pad windows
+        vals = vals.reshape(0, cfg.input_dim)
     if vals.ndim != 2 or len(tt) != len(vals):
         raise ValueError("observed_data must be [n, D] aligned with observed_tp")
     D = vals.shape[1]

@@ -331,6 +331,83 @@ def test_predict_restores_saved_config(trained_exp, synth_root, capsys):
     assert "# restored training config" in outerr.err
 
 
+def test_service_fuzz_random_requests(trained_exp):
+    """Property fuzz over the request surface: any randomly generated
+    VALID instance forecasts to finite values at the requested times; any
+    malformed mutation raises ValueError (serve.py maps it to HTTP 400) —
+    never IndexError/TypeError/XLA errors leaking as 500s."""
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck, cfg, _ = trained_exp
+    svc = ForecastService(ck, max_batch=4, max_wait_ms=1.0)
+    rng = np.random.default_rng(7)
+    D = svc.cfg.input_dim
+    hist, tmax = float(svc.cfg.history), svc.time_max
+
+    def rand_instance():
+        n = int(rng.integers(0, svc.cfg.input_len + 1))
+        m = int(rng.integers(1, svc.cfg.pred_len + 1))
+        tt = np.sort(rng.choice(
+            np.linspace(0, hist * 0.999, max(50, svc.cfg.input_len + 1)),
+            size=n, replace=False))
+        vals = rng.standard_normal((n, D))
+        if rng.random() < 0.3:  # NaN holes -> derived mask
+            vals[rng.random(vals.shape) < 0.3] = np.nan
+        tp = np.sort(rng.choice(
+            np.linspace(hist, tmax, max(40, svc.cfg.pred_len + 1)),
+            size=m, replace=False))
+        inst = {"observed_tp": tt.tolist(),
+                "observed_data": vals.tolist(),
+                "tp_to_predict": tp.tolist()}
+        if rng.random() < 0.3:
+            inst["mean"] = rng.standard_normal(D).tolist()
+            inst["std"] = np.abs(rng.standard_normal(D)).tolist()
+        return inst
+
+    try:
+        for _ in range(12):
+            k = int(rng.integers(1, 4))
+            insts = [rand_instance() for _ in range(k)]
+            for inst, res in zip(insts, svc.forecast(insts)):
+                assert len(res["tp"]) == len(inst["tp_to_predict"])
+                assert np.isfinite(np.asarray(res["prediction"])).all()
+
+        mutations = [
+            lambda i: i.pop("observed_tp"),
+            lambda i: i.pop("tp_to_predict"),
+            lambda i: i.update(observed_data="garbage"),
+            lambda i: i.update(observed_data=[[1.0] * (D + 1)] * 2,
+                               observed_tp=[0.0, 1.0]),
+            lambda i: i.update(tp_to_predict=[]),
+            lambda i: i.update(tp_to_predict=[hist - 1.0]),
+            lambda i: i.update(tp_to_predict=[tmax + 1.0]),
+            lambda i: i.update(observed_tp=[hist + 1.0],
+                               observed_data=[[0.0] * D]),
+            lambda i: i.update(observed_mask=[[1.0]]),
+            lambda i: i.update(notes=[{"no_tau": 1}]),
+            lambda i: i.update(notes=[{"tau": 0.0}]),
+            lambda i: i.update(
+                observed_tp=[0.0, 0.0],
+                observed_data=[[0.0] * D, [1.0] * D]),  # duplicate times
+            lambda i: i.update(tp_to_predict=[hist, hist]),
+            lambda i: i.update(mean=[0.0]),  # wrong stats arity
+        ]
+        for mut in mutations:
+            bad = rand_instance()
+            mut(bad)
+            with pytest.raises(ValueError):
+                svc.forecast([bad])
+        # a malformed instance must never poison a concurrent valid one
+        good = rand_instance()
+        futs = [svc.submit(good)]
+        with pytest.raises(ValueError):
+            svc.submit({"observed_tp": None})
+        assert np.isfinite(
+            np.asarray(futs[0].result()["prediction"])).all()
+    finally:
+        svc.close()
+
+
 @pytest.mark.parametrize("model,over", [
     ("CRU", dict(cru_lsd=8, cru_hidden_units=16)),
     ("LatentODE", dict(ode_latents=6, ode_rec_dims=8, ode_gen_layers=1,
