@@ -54,10 +54,20 @@ def _unwrap(loader):
         name = type(loader).__name__
         if name == "_EmbedNotesLoader":
             w = loader
-            wrappers.append(lambda base, w=w: type(w)(
-                base, w.llm, w.llm_params, w.tokenizer, w.max_length,
-                llm_mesh=getattr(w, "llm_mesh", None),
-            ))
+
+            def _rebuild_embed(base, w=w):
+                nl = type(w)(
+                    base, w.llm, w.llm_params, w.tokenizer, w.max_length,
+                    llm_mesh=getattr(w, "llm_mesh", None),
+                )
+                # share the per-string cache: the pooled embedding of a note
+                # is batch-independent, so notes already embedded by another
+                # split's build (or the streaming wrapper) are exact hits
+                nl._cache = w._cache
+                nl._d = w._d
+                return nl
+
+            wrappers.append(_rebuild_embed)
             loader = loader.base
         elif name == "_TimeLLMPromptLoader":
             w = loader
@@ -97,6 +107,7 @@ def try_build_resident(loader, max_bytes: int = 4 << 30):
     it = probe if rebuild is None else rebuild(probe)
 
     stacks: list[dict] = []
+    probe_bytes = 0
     for out in it:
         out.pop("n_real", None)
         out.pop("notes_text", None)
@@ -105,6 +116,12 @@ def try_build_resident(loader, max_bytes: int = 4 << 30):
             for v in out.values()
         ):
             return None  # batch-dependent collate (e.g. ODE n_observed_tp)
+        # bail BEFORE collating the whole split: padding at concat time
+        # only grows the total, so exceeding the cap here is decisive and
+        # avoids holding an oversized split in host RAM
+        probe_bytes += sum(v.nbytes for v in out.values())
+        if probe_bytes > max_bytes:
+            return None
         stacks.append(out)
     if not stacks:
         return None
@@ -167,16 +184,10 @@ def eval_perm(bit, row_of, n_rows: int) -> np.ndarray:
     return padded.reshape(n_batches, B).astype(np.int32)
 
 
-def make_epoch_runners(cfg: Config, model, fusion, tx, mesh):
-    """(run_train_epoch, run_eval_epoch) jitted over resident data.
-
-    run_train_epoch(params, stats, opt_state, rng, resident, perm)
-      -> params, stats, opt_state, rng, losses [n_batches]
-    run_eval_epoch(params, stats, resident, perm)
-      -> per-batch error-sum stack (host reduces in float64)."""
-    from .trainer import make_forward
-
-    forward = make_forward(cfg, model, fusion)
+def _make_gather(mesh):
+    """Row-gather a batch out of the resident arrays, constrained onto the
+    mesh's data axis when one is configured (shared by the train/eval and
+    predict runners so the serving path scales the same way)."""
 
     def _gather(res, idx):
         batch = {k: jnp.take(v, idx, axis=0) for k, v in res.items()}
@@ -187,6 +198,21 @@ def make_epoch_runners(cfg: Config, model, fusion, tx, mesh):
             batch = {k: jax.lax.with_sharding_constraint(v, sh)
                      for k, v in batch.items()}
         return batch
+
+    return _gather
+
+
+def make_epoch_runners(cfg: Config, model, fusion, tx, mesh):
+    """(run_train_epoch, run_eval_epoch) jitted over resident data.
+
+    run_train_epoch(params, stats, opt_state, rng, resident, perm)
+      -> params, stats, opt_state, rng, losses [n_batches]
+    run_eval_epoch(params, stats, resident, perm)
+      -> per-batch error-sum stack (host reduces in float64)."""
+    from .trainer import make_forward
+
+    forward = make_forward(cfg, model, fusion)
+    _gather = _make_gather(mesh)
 
     def loss_fn(params, stats, batch, rng):
         pred_y, new_stats = forward(params, stats, batch, True, rng)
@@ -235,11 +261,12 @@ def make_predict_runner(cfg: Config, model, fusion, mesh):
     from .trainer import make_forward
 
     forward = make_forward(cfg, model, fusion)
+    _gather = _make_gather(mesh)
 
     @jax.jit
     def run_predict(params, stats, res, perm):
         def body(_, idx):
-            batch = {k: jnp.take(v, idx, axis=0) for k, v in res.items()}
+            batch = _gather(res, idx)
             pred_y, _ = forward(params, stats, batch, False, None)
             sums = batch_error_sums(
                 pred_y, batch["data_to_predict"], batch["mask_predicted_data"]

@@ -305,7 +305,13 @@ def make_loader_wrappers(cfg):
 
 
 def wrap_data_loaders(cfg, data_obj):
-    """Install make_loader_wrappers(cfg) on all three split loaders."""
+    """Install make_loader_wrappers(cfg) on all three split loaders.
+
+    Returns a shallow COPY: the caller's data_obj is left unwrapped, so a
+    second trainable()/train_seed_sweep() call on the same parsed dataset
+    does not stack wrappers (each stacked _EmbedNotesLoader would re-embed
+    every note through the frozen LLM with a fresh empty cache)."""
+    data_obj = dict(data_obj)
     for wrap in make_loader_wrappers(cfg):
         for split in ("train_dataloader", "val_dataloader", "test_dataloader"):
             if data_obj[split] is not None:
@@ -644,6 +650,10 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                 no_improve = 0
                 if data_obj["test_dataloader"] is not None:
                     test_res = _eval(params, stats, "test")
+                else:
+                    # no test split: report best-epoch VAL metrics (the
+                    # vmap_sweep path's fallback) instead of asserting out
+                    test_res = dict(val_res)
             else:
                 no_improve += 1
 

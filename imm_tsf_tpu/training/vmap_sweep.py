@@ -21,7 +21,9 @@ stopped simply stop updating their best-epoch bookkeeping).
 
 from __future__ import annotations
 
+import json
 import logging
+import os
 import time
 from functools import partial
 
@@ -291,6 +293,45 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
         except (FileNotFoundError, KeyError) as e:
             logger.info("No resumable sweep checkpoint at %s (%s); training "
                         "from scratch", checkpoint_dir, e)
+        except ValueError as e:
+            raise RuntimeError(
+                f"Sweep checkpoint at {checkpoint_dir} does not match the "
+                f"current replica grid / model configuration (stacked param "
+                f"tree mismatch; this run has {S} replicas = seeds x lrs) — "
+                "resume with the same --model/--vmap_seeds/--lrs/fusion "
+                "settings the sweep was trained with, or drop --load"
+            ) from e
+
+    # stacked best-epoch WEIGHTS (the serial path keeps trainer.py's best/
+    # dir): the rolling train-state checkpoints retain only the last 2
+    # epochs, so without this the per-replica models whose best-epoch
+    # metrics are reported would be unrecoverable once a replica overfits
+    best_params = jax.tree.map(jnp.copy, params)
+    best_stats = jax.tree.map(jnp.copy, stats)
+    if cfg.load is not None and checkpoint_dir is not None:
+        try:
+            from .checkpoint import load_checkpoint
+
+            best_params, best_stats, _ = load_checkpoint(
+                os.path.join(checkpoint_dir, "best"), best_params, best_stats
+            )
+        except FileNotFoundError:
+            pass
+
+    @jax.jit
+    def _keep_improved(mask, new, best):
+        return jax.tree.map(
+            lambda n, b: jnp.where(
+                mask.reshape((S,) + (1,) * (n.ndim - 1)), n, b),
+            new, best,
+        )
+
+    if checkpoint_dir is not None:
+        # persist the resolved config next to the checkpoints (same
+        # contract as trainable(), so resume needs only --load)
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        with open(os.path.join(checkpoint_dir, "config.json"), "w") as f:
+            f.write(cfg.replace(platform="auto").to_json())
 
     for itr in range(start_epoch, cfg.epoch):
         st_t = time.time()
@@ -356,6 +397,10 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
             history[i].append(
                 dict(epoch=itr, train_loss=float(last_loss[i]), val=val[i])
             )
+        if improved.any():
+            keep = jnp.asarray(improved)
+            best_params = _keep_improved(keep, params, best_params)
+            best_stats = _keep_improved(keep, stats, best_stats)
         secs = time.time() - st_t
         logger.info(
             "- Epoch %03d [vmap x%d] | losses %s | val mse %s | %.2fs",
@@ -379,6 +424,16 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
             )
             save_train_state(checkpoint_dir, params, stats, opt_state,
                              meta, itr)
+            if improved.any():
+                from .checkpoint import save_checkpoint
+
+                best_dir = os.path.join(checkpoint_dir, "best")
+                save_checkpoint(best_dir, best_params, best_stats, itr)
+                with open(os.path.join(best_dir, "replicas.json"), "w") as f:
+                    json.dump(dict(
+                        seeds=[s for s, _ in rep],
+                        lrs=[l for _, l in rep] if lrs else None,
+                        best_iter=best_iter.tolist()), f)
         if (no_improve >= cfg.patience).all():
             break
 

@@ -131,3 +131,33 @@ def test_resident_build_remainder_batch(synth_root):
     res, _ = try_build_resident(data_obj["train_dataloader"])
     for k, v in res.items():
         assert v.shape[0] == n + 1, (k, v.shape, n)
+
+
+def test_unwrap_rebuild_shares_embed_cache():
+    """The resident build's rebuilt _EmbedNotesLoader must share the
+    original wrapper's per-string cache: each split's build (and the
+    streaming wrapper itself) would otherwise re-run the frozen LLM on
+    notes that were already embedded."""
+    from imm_tsf_tpu.training.device_loop import _unwrap
+    from imm_tsf_tpu.training.trainer import _EmbedNotesLoader
+
+    w = _EmbedNotesLoader(object(), None, None, None, 16)
+    w._cache["a note"] = np.zeros(4)
+    w._d = 4
+    _, rebuild = _unwrap(w)
+    rebuilt = rebuild(object())
+    assert rebuilt._cache is w._cache
+    assert rebuilt._d == 4
+
+
+def test_resident_size_cap_returns_none(synth_root):
+    """A split over the resident byte cap falls back to streaming (None) —
+    and the probe bails before collating the whole split into host RAM."""
+    from imm_tsf_tpu.training.device_loop import try_build_resident
+
+    cfg = Config(dataset="EPA-Air", data_root=synth_root, model="DLinear",
+                 batch_size=8, seed=0)
+    data_obj = parse_datasets(cfg, verbose=False)
+    assert try_build_resident(data_obj["train_dataloader"],
+                              max_bytes=1024) is None
+    assert try_build_resident(data_obj["train_dataloader"]) is not None

@@ -47,3 +47,41 @@ def test_dlinear_forward_shapes(synth_root):
     )
     assert pred.shape == batch["data_to_predict"].shape
     assert not np.isnan(np.asarray(pred)).any()
+
+
+def test_trainable_no_test_split_falls_back_to_val(synth_root):
+    """A dataset without a test split trains to completion and reports
+    best-epoch VAL metrics (the vmap_sweep fallback) instead of crashing
+    on the final assert."""
+    cfg = Config(
+        dataset="EPA-Air", data_root=synth_root, model="DLinear",
+        history=7, pred_window=7, stride=7, time_unit="days",
+        batch_size=16, enable_text=False, epoch=2, patience=2,
+    )
+    data_obj = parse_datasets(cfg, verbose=False)
+    data_obj["test_dataloader"] = None
+    res = trainable(cfg, data_obj=data_obj)
+    assert np.isfinite(res["mse"]) and res["best_iter"] >= 0
+
+
+def test_wrap_data_loaders_does_not_mutate_caller(synth_root):
+    """wrap_data_loaders returns a COPY: calling trainable twice on one
+    parsed data_obj must not stack preprocessing wrappers (a stacked
+    _EmbedNotesLoader would re-embed every note per epoch)."""
+    from imm_tsf_tpu.training.trainer import (_TimeLLMPromptLoader,
+                                              wrap_data_loaders)
+
+    cfg = Config(
+        dataset="EPA-Air", data_root=synth_root, model="TimeLLM",
+        history=7, pred_window=7, stride=7, time_unit="days",
+        batch_size=8, enable_text=False, timellm_exact_prompt=True,
+        llm_model_timellm="GPT2",
+    )
+    data_obj = parse_datasets(cfg, verbose=False)
+    orig_train = data_obj["train_dataloader"]
+    wrapped = wrap_data_loaders(cfg, data_obj)
+    assert data_obj["train_dataloader"] is orig_train  # caller untouched
+    assert isinstance(wrapped["train_dataloader"], _TimeLLMPromptLoader)
+    rewrapped = wrap_data_loaders(cfg, data_obj)  # second call: one layer
+    assert not isinstance(rewrapped["train_dataloader"].base,
+                          _TimeLLMPromptLoader)

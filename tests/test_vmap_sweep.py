@@ -120,3 +120,38 @@ def test_vmap_sweep_resume_equals_uninterrupted(synth_root, tmp_path):
             np.testing.assert_allclose(rr[k], rf[k], rtol=0, atol=0,
                                        err_msg=f"seed {rf['seed']} {k}")
         assert [h["epoch"] for h in rr["history"]] == [0, 1, 2, 3]
+
+
+def test_vmap_sweep_saves_best_weights(synth_root, tmp_path):
+    """best/ holds the per-replica best-epoch WEIGHTS (stacked): replica
+    i's slice matches the serial trainable run's own best/ checkpoint, and
+    replicas.json + config.json are written so the reported models are
+    recoverable (the rolling train-state keeps only the last 2 epochs)."""
+    import json
+    import os
+
+    import jax
+
+    from imm_tsf_tpu.training.checkpoint import load_checkpoint
+
+    cfg = _base(synth_root, epoch=4, patience=4)
+    ckdir = str(tmp_path / "sweep")
+    out = train_seed_sweep(cfg, seeds=[1, 2], checkpoint_dir=ckdir)
+
+    bp, _, _ = load_checkpoint(os.path.join(ckdir, "best"))
+    with open(os.path.join(ckdir, "best", "replicas.json")) as f:
+        rep = json.load(f)
+    assert rep["seeds"] == [1, 2]
+    assert rep["best_iter"] == [r["best_iter"] for r in out]
+    assert os.path.exists(os.path.join(ckdir, "config.json"))
+
+    for i, r in enumerate(out):
+        sdir = str(tmp_path / f"serial{i}")
+        trainable(cfg.replace(seed=r["seed"], data_seed=1,
+                              rng_impl="threefry2x32"),
+                  checkpoint_dir=sdir)
+        sp, _, _ = load_checkpoint(os.path.join(sdir, "best"))
+        for b, s in zip(jax.tree_util.tree_leaves(bp),
+                        jax.tree_util.tree_leaves(sp)):
+            np.testing.assert_allclose(np.asarray(b)[i], np.asarray(s),
+                                       rtol=2e-4, atol=1e-6)
