@@ -75,6 +75,11 @@ def _build_chunk(inst: dict, cfg: Config, d_txt: int) -> tuple[Chunk, np.ndarray
         tp_pred = np.asarray(inst["tp_to_predict"], dtype=np.float32)
     except (TypeError, ValueError) as e:
         raise ValueError(f"non-numeric request arrays: {e}") from None
+    if tt.ndim != 1 or tp_pred.ndim != 1:
+        # a scalar (0-d) would make len() raise TypeError -> HTTP 500
+        raise ValueError(
+            "observed_tp and tp_to_predict must be 1-D lists of timestamps"
+        )
     if len(tt) == 0 and vals.size == 0:
         # zero-observation (cold-start) request: JSON [] can't carry the
         # [0, D] shape — normalize it; models handle all-pad windows

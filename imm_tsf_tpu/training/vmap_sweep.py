@@ -305,18 +305,22 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
     # stacked best-epoch WEIGHTS (the serial path keeps trainer.py's best/
     # dir): the rolling train-state checkpoints retain only the last 2
     # epochs, so without this the per-replica models whose best-epoch
-    # metrics are reported would be unrecoverable once a replica overfits
-    best_params = jax.tree.map(jnp.copy, params)
-    best_stats = jax.tree.map(jnp.copy, stats)
-    if cfg.load is not None and checkpoint_dir is not None:
-        try:
-            from .checkpoint import load_checkpoint
+    # metrics are reported would be unrecoverable once a replica overfits.
+    # Only tracked when there is a checkpoint_dir to save them to — the
+    # copy doubles the stacked tree's HBM footprint.
+    best_params = best_stats = None
+    if checkpoint_dir is not None:
+        best_params = jax.tree.map(jnp.copy, params)
+        best_stats = jax.tree.map(jnp.copy, stats)
+        if cfg.load is not None:
+            try:
+                from .checkpoint import load_checkpoint
 
-            best_params, best_stats, _ = load_checkpoint(
-                os.path.join(checkpoint_dir, "best"), best_params, best_stats
-            )
-        except FileNotFoundError:
-            pass
+                best_params, best_stats, _ = load_checkpoint(
+                    os.path.join(checkpoint_dir, "best"), best_params, best_stats
+                )
+            except FileNotFoundError:
+                pass
 
     @jax.jit
     def _keep_improved(mask, new, best):
@@ -392,12 +396,17 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
                 no_improve[i] = 0
                 if test_now is not None:
                     test_res[i] = test_now[i]
+                elif data_obj["test_dataloader"] is None:
+                    # no test split: report BEST-epoch val metrics (same
+                    # fallback as trainable()), not whatever the final
+                    # epoch's val happens to be
+                    test_res[i] = dict(val[i])
             else:
                 no_improve[i] += 1
             history[i].append(
                 dict(epoch=itr, train_loss=float(last_loss[i]), val=val[i])
             )
-        if improved.any():
+        if improved.any() and best_params is not None:
             keep = jnp.asarray(improved)
             best_params = _keep_improved(keep, params, best_params)
             best_stats = _keep_improved(keep, stats, best_stats)

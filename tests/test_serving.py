@@ -197,6 +197,14 @@ def test_service_validation_errors(trained_exp):
         oor["tp_to_predict"] = [700.0]
         with pytest.raises(ValueError, match="tp_to_predict must lie"):
             svc.forecast([oor])
+        scal = dict(instances[0])
+        scal["observed_tp"] = 1.5  # scalar: 0-d array, len() would TypeError
+        with pytest.raises(ValueError, match="1-D"):
+            svc.forecast([scal])
+        scal2 = dict(instances[0])
+        scal2["tp_to_predict"] = 8.0
+        with pytest.raises(ValueError, match="1-D"):
+            svc.forecast([scal2])
         # a malformed submit fails synchronously and alone: a valid
         # concurrent request is unaffected
         ok_fut = svc.submit(instances[0])

@@ -116,3 +116,49 @@ def test_entity_without_time_series_warns(ds_root, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "SKIPPED by the loader" in out
+
+
+def test_text_csv_missing_date_time_column(ds_root, capsys):
+    p = os.path.join(ds_root, "processed", "entity000", "text.csv")
+    df = pd.read_csv(p)
+    df = df.rename(columns={"date_time": "when"})
+    df.to_csv(p, index=False)
+    rc = validate_main([ds_root])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "missing 'date_time' column" in out
+
+
+def test_run_full_sweep_seed_change_rebuilds(tmp_path, monkeypatch, capsys):
+    """Changing --fixture_seed wipes and rebuilds a fixture dir (stale
+    markers/embedding artifacts from another seed must not survive)."""
+    import run_full_sweep as rfs
+
+    monkeypatch.setattr(
+        rfs, "PRESET_FIXTURES",
+        {"EPA-Air": dict(n_entities=2, n_features=3, n_days=30,
+                         obs_per_day=2.0, missing_rate=0.3,
+                         notes_per_day=0.7, time_unit="days")},
+    )
+    root = str(tmp_path / "fx")
+    rfs.build_fixtures(root, seed=2)
+    stale = os.path.join(root, "EPA-Air", "processed", "entity000",
+                         "text_embeddings_model=GPT2_layers=full_maxlen=1024.npz")
+    np.savez(stale, embeddings=np.zeros((3, 4), np.float32),
+             rel_times=np.zeros(3, np.float32))
+    ts0 = os.path.join(root, "EPA-Air", "processed", "entity000",
+                       "time_series.csv")
+    with open(ts0) as f:
+        seed2_csv = f.read()
+
+    rfs.build_fixtures(root, seed=3)  # wipes the dir incl. the stale artifact
+    assert not os.path.exists(stale)
+    with open(ts0) as f:
+        assert f.read() != seed2_csv
+    capsys.readouterr()
+    rfs.build_fixtures(root, seed=3)  # same seed: skip, no output
+    assert capsys.readouterr().out == ""
+
+    rfs.build_fixtures(root, seed=2)  # back to 2: rebuilds bit-identical data
+    with open(ts0) as f:
+        assert f.read() == seed2_csv

@@ -155,3 +155,20 @@ def test_vmap_sweep_saves_best_weights(synth_root, tmp_path):
                         jax.tree_util.tree_leaves(sp)):
             np.testing.assert_allclose(np.asarray(b)[i], np.asarray(s),
                                        rtol=2e-4, atol=1e-6)
+
+
+def test_vmap_sweep_no_test_split_reports_best_epoch_val(synth_root):
+    """With test_dataloader=None each replica's reported metrics are its
+    BEST-epoch val (matching best_iter and the saved best/ weights), not
+    the final epoch's val."""
+    from imm_tsf_tpu.data.loader import parse_datasets
+
+    cfg = _base(synth_root, epoch=4, patience=4)
+    data_obj = parse_datasets(cfg, verbose=False)
+    data_obj["test_dataloader"] = None
+    out = train_seed_sweep(cfg, seeds=[1, 2], data_obj=data_obj)
+    for r in out:
+        vals = [h["val"]["mse"] for h in r["history"]]
+        best_epoch_val = min(vals)
+        np.testing.assert_allclose(r["mse"], best_epoch_val, rtol=1e-6)
+        assert r["history"][r["best_iter"]]["val"]["mse"] == best_epoch_val

@@ -44,10 +44,22 @@ from imm_tsf_tpu.data.synthetic import (  # noqa: E402
 
 
 def build_fixtures(root: str, seed: int) -> None:
+    import shutil
+
     for ds in PRESET_FIXTURES:
-        marker = os.path.join(root, ds, f".fixture_seed={seed}")
+        ds_dir = os.path.join(root, ds)
+        marker = os.path.join(ds_dir, ".fixture_seed")
         if os.path.exists(marker):
-            continue
+            with open(marker) as f:
+                have = f.read().strip()
+            if have == str(seed):
+                continue
+            # different seed: wipe the whole dataset dir — leaving the old
+            # numeric data or its GPT2 embedding artifacts behind would let
+            # a later run silently mix seeds
+            shutil.rmtree(ds_dir)
+            print(f"[fixtures] {ds}: seed changed {have} -> {seed}, rebuilt",
+                  flush=True)
         # default generator params: the synthetic embedding draw is part of
         # the rng stream, so it must stay enabled for bit-compatibility with
         # recorded results even though the sweep reads the GPT2 artifacts

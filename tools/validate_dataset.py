@@ -136,13 +136,21 @@ def validate_entity(ent_dir: str, rep: Report, embeddings_fname: str | None):
     text_path = os.path.join(ent_dir, "text.csv")
     if os.path.isfile(text_path):
         try:
-            tdf = pd.read_csv(text_path, parse_dates=["date_time"])
+            # parse dates AFTER the column check: parse_dates=["date_time"]
+            # raises on a missing column, masking the actionable error
+            tdf = pd.read_csv(text_path)
         except Exception as e:
             rep.error(f"{rec}/text.csv: unreadable ({e})")
             tdf = None
         if tdf is not None:
             if "date_time" not in tdf.columns:
                 rep.error(f"{rec}/text.csv: missing 'date_time' column")
+                tdf = None
+        if tdf is not None:
+            try:
+                tdf["date_time"] = pd.to_datetime(tdf["date_time"])
+            except Exception as e:
+                rep.error(f"{rec}/text.csv: unparseable date_time ({e})")
             cols = [c for c in tdf.columns if c not in ("date_time", "record_id")]
             if len(cols) != 1:
                 rep.error(
