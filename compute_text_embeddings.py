@@ -1,9 +1,18 @@
 """Offline text-embedding precompute (reference compute_text_embeddings.py:8-148).
 
 Per dataset/entity: read text.csv, compute note times relative to the
-FIRST NUMERIC timestamp in days (:70-71), embed every note with the
+FIRST NUMERIC timestamp in the DATASET'S time unit, embed every note with the
 frozen LLM, save `text_embeddings_model={llm}_layers={n|full}_maxlen={L}.pt`
 (torch format for artifact compatibility; .npz fallback without torch).
+
+Divergence from the reference, on purpose: the reference hardcodes rel
+times in DAYS (:70-71) while its loader consumes them in the dataset's
+time unit (lib/parse_datasets.py:145-147 with the hours/weeks presets of
+main.py:790-834) — on any non-days dataset every note collapses into the
+first few windows and text-on chunking drops nearly everything. Here rel
+times are emitted in the dataset's own unit (``time_unit='auto'`` resolves
+it from config.DATASET_PRESETS), so the artifact contract matches what
+the loader actually needs on every preset.
 
 TPU redesign (the BASELINE.md north-star stage): the reference embeds ONE
 note per LLM forward with max_length padding (:79-83) — here all notes of
@@ -31,8 +40,21 @@ def compute_text_embeddings(
     overwrite: bool = False,
     token_batch: int = 64,
     llm_tp: int = 0,
+    time_unit: str = "auto",
+    unit_scale: float | None = None,
 ):
-    from imm_tsf_tpu.data.dataset import embeddings_filename
+    from imm_tsf_tpu.data.dataset import UNIT_SECONDS, embeddings_filename
+
+    if time_unit == "auto":
+        from imm_tsf_tpu.config import DATASET_PRESETS
+
+        time_unit = DATASET_PRESETS.get(data_name, {}).get("time_unit", "days")
+    if time_unit == "custom":
+        if unit_scale is None:
+            raise ValueError("Must set unit_scale when time_unit='custom'")
+        sec_per_unit = float(unit_scale)
+    else:
+        sec_per_unit = UNIT_SECONDS[time_unit]
     from imm_tsf_tpu.llm.loader import load_llm, resolve_llm_mesh
 
     model, params, tokenizer = load_llm(
@@ -74,7 +96,7 @@ def compute_text_embeddings(
             if pd.isna(row[cols[0]]):
                 continue
             notes.append(str(row[cols[0]]))
-            rel_times.append((row["date_time"] - ts_base).total_seconds() / 86400.0)
+            rel_times.append((row["date_time"] - ts_base).total_seconds() / sec_per_unit)
         if not notes:
             continue
         stats: dict = {}
@@ -94,9 +116,11 @@ def compute_text_embeddings(
             import torch
 
             torch.save({"embeddings": torch.from_numpy(emb),
-                        "rel_times": torch.from_numpy(rel)}, out_path)
+                        "rel_times": torch.from_numpy(rel),
+                        "time_unit": time_unit}, out_path)
         except ImportError:
-            np.savez(out_path[:-3] + ".npz", embeddings=emb, rel_times=rel)
+            np.savez(out_path[:-3] + ".npz", embeddings=emb, rel_times=rel,
+                     time_unit=time_unit)
         print(f"[done] {rec}: {len(notes)} notes")
     dt = time.perf_counter() - t0
     if total_tokens:
@@ -124,6 +148,12 @@ if __name__ == "__main__":
     ap.add_argument("--llm_tp", type=int, default=0,
                     help="tensor-parallel width for the frozen LLM "
                          "(0=auto: all chips for Llama/DeepSeek)")
+    ap.add_argument("--time_unit", default="auto",
+                    help="unit for the stored note rel-times; 'auto' resolves "
+                         "each dataset's unit from config.DATASET_PRESETS "
+                         "(unknown datasets fall back to days)")
+    ap.add_argument("--unit_scale", type=float, default=None,
+                    help="seconds per unit when --time_unit=custom")
     ap.add_argument("--platform", default="auto",
                     help="pin the jax backend platform (e.g. cpu) before "
                          "backend init; auto = default discovery")
@@ -135,5 +165,6 @@ if __name__ == "__main__":
         compute_text_embeddings(
             ds, args.llm_model_fusion, args.llm_layers_fusion, args.max_length,
             args.data_root, args.model_dir, args.overwrite,
-            llm_tp=args.llm_tp,
+            llm_tp=args.llm_tp, time_unit=args.time_unit,
+            unit_scale=args.unit_scale,
         )

@@ -72,23 +72,44 @@ def embeddings_filename(llm_model: str, llm_layers, max_length: int) -> str:
     )
 
 
-def _load_embeddings_file(path: str):
-    """Load {"embeddings": [N, d], "rel_times": [N]} from .pt or .npz."""
+def _load_embeddings_file(path: str, expect_unit: str | None = None):
+    """Load {"embeddings": [N, d], "rel_times": [N]} from .pt or .npz.
+
+    Artifacts written by our compute_text_embeddings.py also carry a
+    ``time_unit`` field; when ``expect_unit`` is given, a mismatch raises
+    instead of silently feeding the chunker note times in the wrong unit
+    (which drops almost every text-on window — the failure mode the
+    reference has on its hours/weeks presets, see
+    reference compute_text_embeddings.py:71 vs lib/parse_datasets.py:145).
+    Artifacts without the field (reference-produced, or ours pre-fix)
+    always stored DAYS, so absence is validated as 'days'.
+    """
     npz_path = path[:-3] + ".npz" if path.endswith(".pt") else path + ".npz"
+    unit = None
     if os.path.isfile(path):
         import torch  # torch-cpu, only for artifact compatibility
 
         data = torch.load(path, map_location="cpu", weights_only=False)
         emb = np.asarray(data["embeddings"], dtype=np.float32)
         rel = np.asarray(data["rel_times"], dtype=np.float32)
+        unit = data.get("time_unit")
     elif os.path.isfile(npz_path):
         data = np.load(npz_path)
         emb = data["embeddings"].astype(np.float32)
         rel = data["rel_times"].astype(np.float32)
+        if "time_unit" in data.files:
+            unit = str(data["time_unit"])
     else:
         raise FileNotFoundError(f"Missing text embeddings file: {path}")
     if np.isnan(emb).any():
         raise ValueError("text embeddings contains NaN values.")
+    if expect_unit is not None and (unit or "days") != expect_unit:
+        raise ValueError(
+            f"{path}: embeddings artifact stores note rel_times in "
+            f"{unit!r} but the dataset runs with time_unit={expect_unit!r}; "
+            "recompute with compute_text_embeddings.py (its default "
+            "--time_unit auto picks the dataset's preset unit)."
+        )
     return emb, rel
 
 
@@ -183,7 +204,9 @@ class ChunkedTimeSeriesDataset:
             texts: list[tuple[float, object]] = []
             if use_text_embeddings and llm_model_fusion and enable_text:
                 fname = embeddings_filename(llm_model_fusion, llm_layers_fusion, max_length)
-                emb, rel = _load_embeddings_file(os.path.join(proc_dir, rec, fname))
+                emb, rel = _load_embeddings_file(
+                    os.path.join(proc_dir, rec, fname), expect_unit=time_unit
+                )
                 for i in range(len(rel)):
                     texts.append((float(rel[i]), emb[i]))
             else:

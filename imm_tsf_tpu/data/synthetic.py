@@ -83,10 +83,13 @@ def make_synthetic_dataset(
         tdf.to_csv(os.path.join(ent_dir, "text.csv"), index=False)
 
         if with_embeddings:
-            # rel_times in DAYS relative to first numeric timestamp, matching
-            # compute_text_embeddings.py:70-71 (always days regardless of unit)
-            day_scale = {"days": 1.0, "hours": 1 / 24.0, "weeks": 7.0}[time_unit]
-            rel = (nt - t[0]) * day_scale
+            # rel_times relative to the first numeric timestamp, in the
+            # dataset's OWN unit — the contract compute_text_embeddings.py
+            # emits post unit-fix (the reference hardcodes days at :70-71,
+            # which breaks text-on chunking on hours/weeks presets). Note:
+            # rel is deterministic from nt, so this choice does not touch
+            # the rng stream — numeric fixtures stay bit-compatible.
+            rel = nt - t[0]
             emb = rng.standard_normal((n_notes, d_txt)).astype(np.float32)
             fname = embeddings_filename(llm_model, llm_layers, max_length)
             try:
@@ -96,6 +99,7 @@ def make_synthetic_dataset(
                     {
                         "embeddings": torch.from_numpy(emb),
                         "rel_times": torch.from_numpy(rel.astype(np.float32)),
+                        "time_unit": time_unit,
                     },
                     os.path.join(ent_dir, fname),
                 )
@@ -104,6 +108,7 @@ def make_synthetic_dataset(
                     os.path.join(ent_dir, fname[:-3] + ".npz"),
                     embeddings=emb,
                     rel_times=rel.astype(np.float32),
+                    time_unit=time_unit,
                 )
     return root
 

@@ -193,6 +193,7 @@ def _wait_for_backend(interval_s: float = 60.0, timeout_s: float = 3600.0,
 
 
 _MAX_RECOVERIES_ENV = "IMM_SWEEP_RECOVERIES"
+_LAST_FAILURE_ENV = "IMM_SWEEP_LAST_FAILURE"
 
 
 def _recovery_enabled(args) -> bool:
@@ -204,7 +205,7 @@ def _recovery_enabled(args) -> bool:
     return args.max_recoveries > 0 and plat != "cpu"
 
 
-def _recover_and_reexec(args, exc, effective_argv) -> None:
+def _recover_and_reexec(args, exc, effective_argv, combo=None) -> None:
     """Wait out a transient accelerator outage, then re-exec the sweep.
 
     Re-exec (rather than retrying in-process) is what makes this safe:
@@ -218,6 +219,17 @@ def _recover_and_reexec(args, exc, effective_argv) -> None:
     if n >= args.max_recoveries:
         print(f"[elastic] giving up after {n} recoveries", file=sys.stderr)
         raise exc
+    # the classifier matches substrings ("Connection reset", "UNAVAILABLE")
+    # that ordinary, DETERMINISTIC failures can also carry (e.g. a data/LLM
+    # fetch error inside one combo). A genuine outage doesn't reproduce the
+    # identical error on the identical combo after a successful backend
+    # probe — so the same (combo, error) fingerprint twice in a row means
+    # persistent: re-raise instead of burning the recovery budget.
+    fingerprint = f"{combo}|{type(exc).__name__}:{str(exc)[:160]}"
+    if os.environ.get(_LAST_FAILURE_ENV) == fingerprint:
+        print("[elastic] identical failure on the identical combination "
+              "after a recovery — not transient, giving up", file=sys.stderr)
+        raise exc
     print(f"[elastic] transient accelerator failure: {exc}\n"
           f"[elastic] waiting for backend (probe every "
           f"{args.recover_probe_interval:.0f}s, up to "
@@ -227,6 +239,7 @@ def _recover_and_reexec(args, exc, effective_argv) -> None:
         print("[elastic] backend did not come back in time", file=sys.stderr)
         raise exc
     os.environ[_MAX_RECOVERIES_ENV] = str(n + 1)
+    os.environ[_LAST_FAILURE_ENV] = fingerprint
     print(f"[elastic] backend is back — re-exec (recovery {n + 1}/"
           f"{args.max_recoveries}); finished combos resume from "
           f"{args.results_dir}", file=sys.stderr)
@@ -355,8 +368,6 @@ def main(argv=None):
         # braces: export in the PARENT env too (spawn children inherit it at
         # startup, before sitecustomize/module imports), since the pool
         # initializer only runs after interpreter startup.
-        import os
-
         parent_env = {}
         if args.worker_platform == "cpu":
             for k, v in (("JAX_PLATFORM_NAME", "cpu"), ("JAX_PLATFORMS", "cpu")):
@@ -377,6 +388,7 @@ def main(argv=None):
                 else:
                     os.environ[k] = v
         transient_exc = None
+        transient_combo = None
         try:
             futures = {
                 pool.submit(
@@ -396,9 +408,14 @@ def main(argv=None):
                         # never returns, so re-exec'ing here would skip pool
                         # cleanup and orphan the worker processes
                         transient_exc = exc
+                        transient_combo = c
                         break
                     raise
                 run_times.append((" | ".join(map(str, c)), dt))
+                # a combo finished: the backend works — clear the repeat-
+                # failure fingerprint so a LATER genuine outage on the same
+                # combo can still recover
+                os.environ.pop(_LAST_FAILURE_ENV, None)
         finally:
             # workers can hang at interpreter exit (accelerator-runtime
             # atexit teardown), leaking ~0.5GB each past shutdown(wait=True)
@@ -412,8 +429,8 @@ def main(argv=None):
                 if p.is_alive():
                     p.terminate()
         if transient_exc is not None:
-            _recover_and_reexec(args, transient_exc,
-                                effective_argv)  # re-exec or re-raise
+            _recover_and_reexec(args, transient_exc, effective_argv,
+                                combo=transient_combo)  # re-exec or re-raise
     else:
         for idx, c in enumerate(combinations):
             print(f"[{idx + 1}/{len(combinations)}] {c}")
@@ -427,9 +444,10 @@ def main(argv=None):
                 if _recovery_enabled(args) and \
                         _is_transient_accelerator_error(exc):
                     # re-exec or re-raise
-                    _recover_and_reexec(args, exc, effective_argv)
+                    _recover_and_reexec(args, exc, effective_argv, combo=c)
                 raise
             run_times.append((" | ".join(map(str, c)), dt))
+            os.environ.pop(_LAST_FAILURE_ENV, None)  # see parallel path
 
     total = time.time() - total_t0
     table = Table(["Combination", "Time (s)", "Percent of Total (%)"])

@@ -42,6 +42,47 @@ def test_chunk_invariants(ds):
         assert not np.isnan(c.vals).any()
 
 
+def test_embeddings_unit_contract(tmp_path):
+    """On a non-days dataset, the embeddings artifact must carry note
+    rel-times in the dataset's unit: text-on chunking with artifacts keeps
+    exactly the chunks text-off keeps, and a legacy days-unit artifact is
+    rejected at load (the reference silently mis-times notes there —
+    compute_text_embeddings.py:71 vs lib/parse_datasets.py:145)."""
+    from imm_tsf_tpu.data.synthetic import make_synthetic_dataset
+
+    root = str(tmp_path / "HoursDS")
+    make_synthetic_dataset(root, n_entities=2, n_features=3, n_days=96,
+                           obs_per_day=1.2, notes_per_day=0.3,
+                           time_unit="hours", seed=0)
+    kw = dict(root=root, history=12, pred_window=12, stride=12,
+              time_unit="hours", verbose=False)
+    ds_off = ChunkedTimeSeriesDataset(enable_text=False, **kw)
+    ds_on = ChunkedTimeSeriesDataset(
+        enable_text=True, use_text_embeddings=True, llm_model_fusion="GPT2",
+        llm_layers_fusion=6, max_length=1024, **kw)
+    assert [c.chunk_id for c in ds_on.chunks] == [c.chunk_id for c in ds_off.chunks]
+    # in-window note times must live in [0, history) in HOURS
+    for c in ds_on.chunks:
+        assert len(c.note_times) >= 1
+        assert (c.note_times >= 0).all() and (c.note_times < 12).all()
+
+    # legacy artifact (rel in days, no unit tag) on an hours dataset: reject
+    import glob
+    import os
+
+    import torch
+
+    for p in glob.glob(os.path.join(root, "processed", "*", "text_embeddings*")):
+        d = torch.load(p, weights_only=False)
+        torch.save({"embeddings": d["embeddings"],
+                    "rel_times": d["rel_times"] / 24.0}, p)
+    with pytest.raises(ValueError, match="time_unit"):
+        ChunkedTimeSeriesDataset(
+            enable_text=True, use_text_embeddings=True,
+            llm_model_fusion="GPT2", llm_layers_fusion=6, max_length=1024,
+            **kw)
+
+
 def test_text_drop_rule(synth_root):
     """Chunks with zero in-window notes are dropped even when text is off
     (reference :217-221)."""

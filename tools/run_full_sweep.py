@@ -70,19 +70,46 @@ def build_fixtures(root: str, seed: int) -> None:
         print(f"[fixtures] built {ds} (seed={seed})", flush=True)
 
 
+def _artifact_ok(path_pt: str, expect_unit: str) -> bool:
+    """True iff an embeddings artifact exists AND carries the right unit."""
+    from imm_tsf_tpu.data.dataset import _load_embeddings_file
+
+    try:
+        _load_embeddings_file(path_pt, expect_unit=expect_unit)
+        return True
+    except FileNotFoundError:
+        return False
+    except ValueError:
+        return False
+
+
 def compute_embeddings(root: str, llm: str, max_length: int) -> None:
-    """Real frozen-LLM note embeddings via the production CLI (layers=full)."""
+    """Real frozen-LLM note embeddings via the production CLI (layers=full).
+
+    An artifact computed with the wrong time unit (e.g. days rel-times for
+    the hours-unit MIMIC preset — the pre-fix behavior) counts as missing
+    and is deleted so the recompute below regenerates it.
+    """
+    from imm_tsf_tpu.config import DATASET_PRESETS
+
     fname = embeddings_filename(llm, None, max_length)
-    missing = [
-        ds
-        for ds in PRESET_FIXTURES
-        if not all(
-            os.path.isfile(os.path.join(proc, ent, fname))
-            or os.path.isfile(os.path.join(proc, ent, fname[:-3] + ".npz"))
-            for proc in [os.path.join(root, ds, "processed")]
-            for ent in sorted(os.listdir(proc))
-        )
-    ]
+    missing = []
+    for ds in PRESET_FIXTURES:
+        unit = DATASET_PRESETS.get(ds, {}).get("time_unit", "days")
+        proc = os.path.join(root, ds, "processed")
+        bad = [
+            ent for ent in sorted(os.listdir(proc))
+            if not _artifact_ok(os.path.join(proc, ent, fname), unit)
+        ]
+        if bad:
+            for ent in bad:  # drop stale/mismatched artifacts before recompute
+                for p in (os.path.join(proc, ent, fname),
+                          os.path.join(proc, ent, fname[:-3] + ".npz")):
+                    if os.path.isfile(p):
+                        os.remove(p)
+                        print(f"[embeddings] {ds}/{ent}: dropped stale artifact",
+                              flush=True)
+            missing.append(ds)
     if not missing:
         return
     subprocess.run(

@@ -65,7 +65,8 @@ class Report:
         print(f"  ok      {msg}")
 
 
-def validate_entity(ent_dir: str, rep: Report, embeddings_fname: str | None):
+def validate_entity(ent_dir: str, rep: Report, embeddings_fname: str | None,
+                    expect_unit: str | None = None):
     rec = os.path.basename(ent_dir)
 
     # --- time_series.csv -------------------------------------------------
@@ -171,7 +172,7 @@ def validate_entity(ent_dir: str, rep: Report, embeddings_fname: str | None):
     if embeddings_fname is not None:
         path = os.path.join(ent_dir, embeddings_fname)
         try:
-            emb, rel = _load_embeddings_file(path)
+            emb, rel = _load_embeddings_file(path, expect_unit=expect_unit)
         except FileNotFoundError:
             rep.error(
                 f"{rec}: missing embeddings artifact {embeddings_fname} "
@@ -277,14 +278,6 @@ def main(argv=None):
         return 1
     print(f"Validating {len(ents)} entities under {proc}")
 
-    emb_fname = None
-    if args.use_text_embeddings:
-        emb_fname = embeddings_filename(
-            args.llm_model_fusion, args.llm_layers_fusion, args.max_length
-        )
-    for ent in ents:
-        validate_entity(os.path.join(proc, ent), rep, emb_fname)
-
     # window params: explicit flags override the preset table
     hist, pred, stride, unit = args.history, args.pred_window, args.stride, args.time_unit
     if args.preset is not None:
@@ -297,6 +290,15 @@ def main(argv=None):
         pred = pred if pred is not None else cfg.pred_window
         stride = stride if stride is not None else cfg.stride
         unit = unit if unit is not None else cfg.time_unit
+
+    emb_fname = None
+    if args.use_text_embeddings:
+        emb_fname = embeddings_filename(
+            args.llm_model_fusion, args.llm_layers_fusion, args.max_length
+        )
+    for ent in ents:
+        validate_entity(os.path.join(proc, ent), rep, emb_fname,
+                        expect_unit=unit)
     if hist is not None and pred is not None and stride is not None:
         print(f"Chunker dry-run: history={hist} pred_window={pred} "
               f"stride={stride} unit={unit or 'days'}")
