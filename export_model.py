@@ -57,11 +57,18 @@ def main(argv=None):
         # the full training flag set (same fallback as serve.py/predict.py;
         # raw CLI flags without presets would export wrong geometry)
         print(f"# {ck_dir}/config.json not found (experiment predates "
-              f"config persistence): using CLI flags + presets",
-              file=sys.stderr)
+              f"config persistence): re-pass the training flags (incl. "
+              f"--overwrite_args for presets); deriving data geometry from "
+              f"--data_root", file=sys.stderr)
         cfg = apply_presets(cli, fixed_params, tunable_params)
         if cfg.enable_text:
             cfg = resolve_max_length(cfg)
+        # data-derived fields (input_dim/input_len/pred_len) are only
+        # resolved by the data build (predict.py:89-90) — exporting with
+        # Config's zero defaults would bake wrong geometry
+        from imm_tsf_tpu.data.loader import parse_datasets
+
+        cfg = parse_datasets(cfg, verbose=False)["cfg"]
     out_dir = pre_args.out or f"artifacts/{cli.load}"
 
     meta = export_experiment(ck_dir, out_dir, cfg=cfg,

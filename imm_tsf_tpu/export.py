@@ -30,7 +30,6 @@ Caveats (recorded in meta.json):
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 
@@ -114,8 +113,10 @@ def export_experiment(checkpoint_dir: str, out_dir: str,
         # experiment config may differ, e.g. --pred_len at export time);
         # platform is a machine-local knob, never artifact config
         with open(os.path.join(out_dir, "config.json"), "w") as f:
-            json.dump(dataclasses.asdict(cfg.replace(platform="auto")),
-                      f, indent=2)
+            # Config.to_json (not raw asdict) — its default=str guard keeps
+            # non-JSON-native field values (e.g. numpy ints from a live
+            # session's derived fields) from aborting the export midway
+            f.write(cfg.replace(platform="auto").to_json())
 
         meta = {
             "artifact_version": ARTIFACT_VERSION,

@@ -33,6 +33,7 @@ Instance schema (all lists / nested lists, JSON-friendly):
 
 from __future__ import annotations
 
+import logging
 import os
 import queue
 import threading
@@ -44,6 +45,8 @@ from .config import Config, load_saved_config
 from .data import collate as C
 from .data.dataset import Chunk
 from .data.loader import _pad_batch_dim
+
+logger = logging.getLogger("imm_tsf_tpu.serving")
 
 
 class _OneBatchProxy:
@@ -153,11 +156,9 @@ def _build_chunk(inst: dict, cfg: Config, d_txt: int) -> tuple[Chunk, np.ndarray
                     "this experiment was trained on precomputed note "
                     'embeddings: send notes as {"tau", "embedding"}')
             payloads.append(str(note["text"]))
-    if cfg.enable_text and not payloads:
-        # the data contract drops no-text chunks (lib/parse_datasets.py:217-221);
-        # at serving time an empty-notes request is legal — the fusion
-        # modules handle the no-note sample path (M_txt=0 -> identity)
-        pass
+    # NB: empty `payloads` is legal even though the training data contract
+    # drops no-text chunks (lib/parse_datasets.py:217-221) — the fusion
+    # modules handle the no-note sample path (M_txt=0 -> identity)
 
     # pred rows: requested times with dummy values and mask=1 — the mask
     # marks which batch slots belong to this instance (the gather key for
@@ -394,7 +395,18 @@ class ForecastService(_MetricsMixin):
         return fut
 
     def forecast(self, instances: list[dict]) -> list[dict]:
-        futs = [self.submit(i) for i in instances]
+        # validate ALL instances before enqueuing ANY: a malformed instance
+        # late in the list must not leave earlier ones dispatched to the
+        # device with results nobody reads
+        built = [_build_chunk(i, self.cfg, self.d_txt) for i in instances]
+        futs: list[Future] = []
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            for b in built:
+                fut: Future = Future()
+                self._q.put((b, fut))
+                futs.append(fut)
         return [f.result() for f in futs]
 
     def close(self):
@@ -404,8 +416,18 @@ class ForecastService(_MetricsMixin):
             self._closed = True
             self._q.put(None)
         self._worker.join(timeout=30)
-        # the worker exits when it pops the sentinel — resolve anything
-        # still queued behind it so no client future is stranded
+        if self._worker.is_alive():
+            # still mid-dispatch (e.g. a first-call XLA compile): do NOT
+            # drain — we would race the live worker for queued items and
+            # could steal its shutdown sentinel (deadlocking it). It will
+            # serve the remaining queue and exit on the sentinel.
+            logger.warning("ForecastService.close(): worker still busy "
+                           "after 30s; queued requests will be served "
+                           "before the worker exits")
+            return
+        # worker is gone (popped the sentinel mid-queue on the coalesce
+        # path, or crashed) — resolve anything still queued so no client
+        # future is stranded
         while True:
             try:
                 item = self._q.get_nowait()
@@ -442,6 +464,11 @@ class ForecastService(_MetricsMixin):
         import time as _time
 
         t0 = _time.monotonic()
+        # claim the futures: a client-cancelled future would make
+        # set_result raise InvalidStateError and poison its batchmates
+        batch = [(b, f) for b, f in batch if f.set_running_or_notify_cancel()]
+        if not batch:
+            return
         try:
             results = self._infer([built for built, _ in batch])
             for (_, fut), res in zip(batch, results):

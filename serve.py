@@ -63,11 +63,18 @@ def build_service(argv):
         # pre-config.json experiment: legacy path — the user must re-pass
         # the full training flag set (same fallback as predict.py)
         print(f"# {ck_dir}/config.json not found (experiment predates "
-              f"config persistence): using CLI flags + presets",
-              file=sys.stderr)
+              f"config persistence): re-pass the training flags (incl. "
+              f"--overwrite_args for presets); deriving data geometry from "
+              f"--data_root", file=sys.stderr)
         cfg = apply_presets(cli, fixed_params, tunable_params)
         if cfg.enable_text:
             cfg = resolve_max_length(cfg)
+        # data-derived fields (input_dim/input_len/pred_len) are only
+        # resolved by the data build — without them every request would be
+        # rejected against a zero-feature geometry (predict.py:89-90)
+        from imm_tsf_tpu.data.loader import parse_datasets
+
+        cfg = parse_datasets(cfg, verbose=False)["cfg"]
 
     pin_platform(cfg.platform)  # before ForecastService's first backend init
     svc = ForecastService(ck_dir, cfg=cfg, max_batch=pre_args.max_batch,

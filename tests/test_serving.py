@@ -508,3 +508,111 @@ def test_service_with_fusion_embeddings(synth_root, tmp_path_factory):
         assert np.isfinite(np.asarray(no_notes["prediction"])).all()
     finally:
         svc.close()
+
+
+def test_cancelled_future_does_not_poison_batch(trained_exp):
+    """A client-cancelled future coalesced into a batch must not make
+    set_result raise InvalidStateError and fail its batchmates."""
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck, cfg, _ = trained_exp
+    import time as _time
+
+    svc = ForecastService(ck, max_batch=4, max_wait_ms=50.0)
+    try:
+        instances, _ = _instances_from_dataset(svc.cfg, k=2)
+        svc.forecast([instances[0]])  # warm: compile outside the race
+        # stall the worker on a first dispatch so the next two submissions
+        # sit in the queue together (deterministic coalescing)
+        real_infer = svc._infer
+        started = threading.Event()
+        stall = [True]
+
+        def slow_infer(built):
+            if stall[0]:
+                stall[0] = False
+                started.set()
+                _time.sleep(2.0)
+            return real_infer(built)
+
+        svc._infer = slow_infer
+        f_stall = svc.submit(instances[0])
+        started.wait(timeout=30)
+        f_ok = svc.submit(instances[0])
+        f_cancel = svc.submit(instances[1])
+        assert f_cancel.cancel()  # not claimed yet: worker is stalled
+        for f in (f_stall, f_ok):
+            res = f.result(timeout=120)
+            assert np.isfinite(np.asarray(res["prediction"])).all()
+        assert f_cancel.cancelled()
+    finally:
+        svc.close()
+
+
+def test_forecast_is_atomic_on_validation_error(trained_exp):
+    """forecast() validates EVERY instance before enqueuing any — a bad
+    trailing instance must not leave orphaned device work behind."""
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck, cfg, _ = trained_exp
+    svc = ForecastService(ck, max_batch=4, max_wait_ms=1.0)
+    try:
+        instances, _ = _instances_from_dataset(svc.cfg, k=1)
+        before = svc.metrics()["requests_total"]
+        bad = dict(instances[0], tp_to_predict=[])
+        with pytest.raises(ValueError):
+            svc.forecast([instances[0], bad])
+        assert svc._queue_depth() == 0
+        # nothing was dispatched for the rejected call
+        assert svc.metrics()["requests_total"] == before
+    finally:
+        svc.close()
+
+
+def test_close_with_busy_worker_serves_queued_requests(trained_exp, monkeypatch):
+    """close() while the worker is mid-dispatch must not steal queued
+    items or the shutdown sentinel — queued requests are still served."""
+    import time as _time
+
+    from imm_tsf_tpu.serving import ForecastService
+
+    ck, cfg, _ = trained_exp
+    svc = ForecastService(ck, max_batch=1, max_wait_ms=1.0)
+    try:
+        instances, _ = _instances_from_dataset(svc.cfg, k=1)
+        svc.forecast([instances[0]])  # compile before timing matters
+        real_infer = svc._infer
+        started = threading.Event()
+
+        def slow_infer(built):
+            started.set()
+            _time.sleep(3.0)
+            return real_infer(built)
+
+        monkeypatch.setattr(svc, "_infer", slow_infer)
+        f1 = svc.submit(instances[0])
+        started.wait(timeout=30)
+        f2 = svc.submit(instances[0])  # queued behind the slow dispatch
+        worker = svc._worker
+        monkeypatch.setattr(
+            type(svc), "_worker",
+            property(lambda self: _NoJoin(worker)), raising=False)
+        svc.close()
+        assert np.isfinite(np.asarray(f1.result(timeout=120)["prediction"])).all()
+        assert np.isfinite(np.asarray(f2.result(timeout=120)["prediction"])).all()
+    finally:
+        worker.join(timeout=60)
+
+
+class _NoJoin:
+    """Wrap a Thread, making join() a no-op (simulates the 30s timeout
+    expiring while the worker is still mid-dispatch)."""
+
+    def __init__(self, t):
+        self._t = t
+
+    def join(self, timeout=None):
+        pass
+
+    def is_alive(self):
+        return self._t.is_alive()
