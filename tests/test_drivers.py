@@ -302,6 +302,33 @@ def test_embedding_precompute(synth_root, tmp_path):
     assert ds.bounds.d_txt == 768  # GPT2 hidden size
 
 
+def test_sweep_artifact_unit_gate(tmp_path):
+    """run_full_sweep treats an embeddings artifact with wrong-unit
+    rel_times (incl. tagless legacy days artifacts on an hours dataset)
+    as missing, so the launcher recomputes instead of silently resuming
+    onto mis-timed notes."""
+    import numpy as np
+
+    from tools.run_full_sweep import _artifact_ok
+
+    d = tmp_path / "ent"
+    d.mkdir()
+    pt = str(d / "text_embeddings_model=GPT2_layers=full_maxlen=1024.pt")
+    emb = np.zeros((3, 8), np.float32)
+    rel = np.arange(3, dtype=np.float32)
+
+    assert not _artifact_ok(pt, "hours")  # missing
+
+    np.savez(pt[:-3] + ".npz", embeddings=emb, rel_times=rel)  # tagless=days
+    assert _artifact_ok(pt, "days")
+    assert not _artifact_ok(pt, "hours")
+
+    np.savez(pt[:-3] + ".npz", embeddings=emb, rel_times=rel,
+             time_unit="hours")
+    assert _artifact_ok(pt, "hours")
+    assert not _artifact_ok(pt, "weeks")
+
+
 def test_predict_driver_matches_training_metrics(synth_root, tmp_path):
     """predict.py restores the best-epoch weights and must reproduce the
     training run's reported test metrics exactly (same eval path)."""
