@@ -96,7 +96,17 @@ def finalize_metrics(acc: dict) -> dict:
         )
     mse = float((se / (cnt + 1e-8)).sum() / n_avai)
     mae = float((ae / (cnt + 1e-8)).sum() / n_avai)
-    mape = float((ape / (cnt_mape + 1e-8)).sum() / max(n_avai_mape, 1))
+    if n_avai_mape == 0:
+        # align with the MSE/MAE guard above: the reference would return
+        # 0/0→NaN-ish 0.0 when every truth value is exactly zero
+        # (lib/evaluation.py:275); fail loudly instead of reporting a
+        # silently-perfect 0.0 MAPE
+        raise ValueError(
+            "finalize_metrics: zero nonzero-truth observations across the "
+            "whole split — MAPE is undefined (all ground-truth values are "
+            "exactly zero under the mask)"
+        )
+    mape = float((ape / (cnt_mape + 1e-8)).sum() / n_avai_mape)
     return {
         "loss": mse,
         "mse": mse,

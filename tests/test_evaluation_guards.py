@@ -15,6 +15,23 @@ def test_finalize_metrics_zero_observed_raises():
         finalize_metrics(acc)
 
 
+def test_finalize_metrics_zero_nonzero_truth_raises():
+    """VERDICT r2 weak #6: an eval split whose ground truth is exactly zero
+    everywhere under the mask has an undefined MAPE — raise like the
+    MSE/MAE guard instead of silently reporting a perfect 0.0."""
+    from imm_tsf_tpu.training.evaluation import finalize_metrics
+
+    acc = {
+        "se": np.array([4.0, 1.0]),
+        "ae": np.array([2.0, 1.0]),
+        "ape": np.array([0.0, 0.0]),
+        "cnt": np.array([2.0, 1.0]),
+        "cnt_mape": np.array([0.0, 0.0]),  # no nonzero-truth observations
+    }
+    with pytest.raises(ValueError, match="MAPE is undefined"):
+        finalize_metrics(acc)
+
+
 def test_finalize_metrics_partial_variables_ok():
     """Variables with zero observations are excluded from the outer mean
     (reference two-stage reduction, lib/evaluation.py:51-62)."""
