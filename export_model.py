@@ -11,7 +11,8 @@ The artifact directory then serves WITHOUT model code or checkpoints:
                   "tp_to_predict": [...]}])
 
 See imm_tsf_tpu/export.py for the artifact format and caveats
-(LatentODE not exportable; platform list checked at call time).
+(LatentODE dispatches per instance against static union-axis caps;
+platform list checked at call time).
 """
 
 from __future__ import annotations

@@ -124,7 +124,9 @@ def cru_collate(
     return out
 
 
-def ode_collate(batch: list[Chunk], history: float, time_max: float) -> dict:
+def ode_collate(batch: list[Chunk], history: float, time_max: float,
+                t_obs_cap: int | None = None,
+                t_pred_cap: int | None = None) -> dict:
     """LatentODE path, reference :411-471.
 
     Builds one global sorted-unique time axis for the whole batch, scatters
@@ -134,6 +136,13 @@ def ode_collate(batch: list[Chunk], history: float, time_max: float) -> dict:
     TPU redesign: the observed/predicted unions are padded to bucket sizes.
     Pad time entries REPEAT the final real time so a fixed-step ODE solve
     over them is the identity (dt=0); their masks are zero everywhere.
+
+    t_obs_cap / t_pred_cap: optional FIXED axis lengths instead of the
+    dynamic buckets — the AOT-export path (export.py) pins the union axes
+    to static ceilings so one compiled program serves any batch content.
+    Padding semantics are identical to the bucket pads (dt=0 repeats,
+    zero masks), so results at real rows match the bucketed program.
+    Raises when the actual union exceeds a cap.
     """
     all_tt = np.concatenate([c.tt for c in batch])
     combined_raw = np.unique(all_tt)  # sorted unique
@@ -154,8 +163,24 @@ def ode_collate(batch: list[Chunk], history: float, time_max: float) -> dict:
     eps = np.finfo(np.float32).eps * time_max
     combined_tt = combined_tt + np.arange(T, dtype=np.float32) * eps
 
-    T_obs = pad_to_bucket(max(n_obs, 1))
-    T_pred = pad_to_bucket(max(T - n_obs, 1))
+    if t_obs_cap is not None:
+        if n_obs > t_obs_cap:
+            raise ValueError(
+                f"ode_collate: {n_obs} union observed times exceed the "
+                f"static cap {t_obs_cap} (re-export with a larger cap or "
+                f"split the batch)")
+        T_obs = t_obs_cap
+    else:
+        T_obs = pad_to_bucket(max(n_obs, 1))
+    if t_pred_cap is not None:
+        if T - n_obs > t_pred_cap:
+            raise ValueError(
+                f"ode_collate: {T - n_obs} union forecast times exceed the "
+                f"static cap {t_pred_cap} (re-export with a larger cap or "
+                f"split the batch)")
+        T_pred = t_pred_cap
+    else:
+        T_pred = pad_to_bucket(max(T - n_obs, 1))
 
     def pad_times(t: np.ndarray, L: int) -> np.ndarray:
         out = np.full((L,), t[-1] if len(t) else 0.0, np.float32)

@@ -20,9 +20,18 @@ Artifact layout:
     forecast_b{B}.jaxexport serialized jax.export program per batch size
 
 Caveats (recorded in meta.json):
-  - LatentODE is not exportable: its union-time-axis collate makes the
-    device shapes depend on batch content (the live service handles this
-    by refusing to coalesce requests; an AOT program cannot).
+  - LatentODE's union-time-axis collate is batch-content-dependent; the
+    exported programs pin both union axes to static ceilings (`ode_caps`
+    = input_len / pred_len buckets — per-request bounds enforced by
+    serving._build_chunk). Padding repeats the last time (dt=0 identity
+    solve) with zero masks, the same mechanism the training-time buckets
+    use, so real rows are bit-identical to the bucketed program
+    (pad-invariance isolated in tests). Like the live service (which
+    refuses to coalesce LatentODE requests — serving.py `_coalesce` —
+    because merging requests inserts foreign union time points that
+    change the encoder's ODE discretization), ExportedForecaster
+    dispatches LatentODE instances one at a time, so artifact and live
+    predictions match exactly.
   - Raw-text experiments (use_text_embeddings=false) still embed notes
     through the frozen LLM on the host BEFORE the exported program; the
     LLM loads from IMM_TSF_LLM_DIR as at training time.
@@ -62,11 +71,6 @@ def export_experiment(checkpoint_dir: str, out_dir: str,
         raise ValueError("batch_sizes must be positive ints")
     if cfg is None:
         cfg = load_saved_config(os.path.join(checkpoint_dir, "config.json"))
-    if cfg.model == "LatentODE":
-        raise ValueError(
-            "LatentODE cannot be AOT-exported: its union-time-axis "
-            "collate gives the device program batch-content-dependent "
-            "shapes; serve it with the live ForecastService instead")
 
     svc = ForecastService(checkpoint_dir, cfg=cfg,
                           max_batch=max(batch_sizes))
@@ -84,16 +88,26 @@ def export_experiment(checkpoint_dir: str, out_dir: str,
         infer = svc._infer_fn
         fn = jax.jit(lambda b: infer(params, stats, b))  # weights baked in
 
+        # static union-axis ceilings for LatentODE: dispatches are
+        # per-request (see module docstring), and one request contributes
+        # at most input_len observed / pred_len forecast times
+        # (serving._build_chunk bounds)
+        ode_caps = (C.pad_to_bucket(cfg.input_len),
+                    C.pad_to_bucket(cfg.pred_len)) \
+            if cfg.model == "LatentODE" else None
+
         os.makedirs(out_dir, exist_ok=True)
         input_specs = {}
         exported_platforms = None
         for B in batch_sizes:
+            caps = ode_caps
             # representative batch at size B through the service's own
             # collate + loader stages (TimeLLM prompts etc.), notes axis
             # pinned to the artifact-wide cap
             out = collate_chunks(cfg, [svc._dummy_chunk()], svc.d_txt,
                                  svc.time_max, B, n_notes=notes_cap,
-                                 max_patch_len=patch_cap or None)
+                                 max_patch_len=patch_cap or None,
+                                 ode_caps=caps)
             svc._proxy.batch = out
             batch = next(iter(svc._stage_top))
             spec = {k: jax.ShapeDtypeStruct(v.shape, v.dtype)
@@ -127,6 +141,7 @@ def export_experiment(checkpoint_dir: str, out_dir: str,
             "platforms": exported_platforms,
             "notes_cap": notes_cap,
             "patch_cap": patch_cap,
+            "ode_caps": list(ode_caps) if ode_caps else None,
             "d_txt": svc.d_txt,
             "best_epoch": int(svc.step),
             "jax_version": jax.__version__,
@@ -167,6 +182,8 @@ class ExportedForecaster(_MetricsMixin):
         self.d_txt = int(self.meta["d_txt"])
         self.notes_cap = int(self.meta["notes_cap"])
         self.patch_cap = int(self.meta.get("patch_cap", 0))
+        caps = self.meta.get("ode_caps")
+        self.ode_caps = tuple(caps) if caps else None
         self.time_max = float(self.cfg.history + self.cfg.pred_window)
         self._programs = {}
         for B in self.meta["batch_sizes"]:
@@ -202,6 +219,12 @@ class ExportedForecaster(_MetricsMixin):
         n = len(built)
         if n == 0:  # match ForecastService.forecast([]) == []
             return []
+        if self.ode_caps and n > 1:
+            # union-time-axis model: one dispatch per instance, mirroring
+            # the live service's no-coalesce rule (serving.py `_coalesce`)
+            # — merging requests would insert foreign union time points
+            # that change the encoder's ODE discretization
+            return [self.forecast([inst])[0] for inst in instances]
         sizes = [B for B in self._programs if B >= n]
         if not sizes:
             raise ValueError(
@@ -221,7 +244,8 @@ class ExportedForecaster(_MetricsMixin):
                 out = collate_chunks(self.cfg, [c for c, _, _ in built],
                                      self.d_txt, self.time_max, B,
                                      n_notes=self.notes_cap,
-                                     max_patch_len=self.patch_cap or None)
+                                     max_patch_len=self.patch_cap or None,
+                                     ode_caps=self.ode_caps)
                 self._proxy.batch = out
                 out = next(iter(self._stage_top))
                 dev = {k: jnp.asarray(v) for k, v in out.items()

@@ -179,13 +179,14 @@ def _build_chunk(inst: dict, cfg: Config, d_txt: int) -> tuple[Chunk, np.ndarray
 def collate_chunks(cfg: Config, chunks: list[Chunk], d_txt: int,
                    time_max: float, pad_to: int,
                    n_notes: int | None = None,
-                   max_patch_len: int | None = None) -> dict:
+                   max_patch_len: int | None = None,
+                   ode_caps: tuple[int, int] | None = None) -> dict:
     """Collate request chunks through the exact training-time collate for
     cfg's model family, batch-padded to the static size `pad_to`. Shared
     by the live service and the AOT-exported artifact path (export.py).
-    n_notes / max_patch_len pin the notes and per-patch axes to fixed
-    sizes (exported programs have ONE static shape; the live service
-    buckets per batch)."""
+    n_notes / max_patch_len / ode_caps pin the notes, per-patch and
+    ODE-union axes to fixed sizes (exported programs have ONE static
+    shape; the live service buckets per batch)."""
     if cfg.model == "tPatchGNN":
         out = C.patch_collate(chunks, cfg.history, time_max,
                               cfg.pred_len, cfg.patch_size,
@@ -195,7 +196,9 @@ def collate_chunks(cfg: Config, chunks: list[Chunk], d_txt: int,
         out = C.cru_collate(chunks, cfg.history, time_max,
                             cfg.input_len, cfg.pred_len)
     elif cfg.model == "LatentODE":
-        out = C.ode_collate(chunks, cfg.history, time_max)
+        caps = ode_caps or (None, None)
+        out = C.ode_collate(chunks, cfg.history, time_max,
+                            t_obs_cap=caps[0], t_pred_cap=caps[1])
     else:
         out = C.standard_collate(chunks, cfg.history, time_max,
                                  cfg.input_len, cfg.pred_len)
