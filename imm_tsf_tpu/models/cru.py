@@ -35,7 +35,7 @@ import numpy as np
 
 from ..config import Config
 from ..ode.nets import dense, dense_params, torch_linear_params
-from ..ops.expm import expm
+from ..ops.cru_scan import cru_scan_auto
 
 
 def _elup1(x):
@@ -159,95 +159,26 @@ class CRU(nn.Module):
         # einsum instead of four scatters
         dense_basis = jnp.stack([to_dense(b) for b in tm_basis])  # [4,K,l,l]
 
-        def cell_step(carry, inp):
-            prior_mean, cu, cl, cs = carry  # [B,lsd], [B,lod]x3
-            obs, obs_var, valid, dt = inp
-
-            # -- update (CRUCell.py:277-314) --
-            denom = cu + obs_var
-            q_upper = cu / denom
-            q_lower = cs / denom
-            residual = obs - prior_mean[:, :lod]
-            new_mean = prior_mean + jnp.concatenate(
-                [q_upper * residual, q_lower * residual], axis=-1
-            )
-            covar_factor = 1 - q_upper
-            ncu_u = covar_factor * cu
-            ncl_u = cl - q_lower * cs
-            ncs_u = covar_factor * cs
-            v = valid[:, None].astype(new_mean.dtype)
-            post_mean = v * new_mean + (1 - v) * prior_mean
-            post_cu = v * ncu_u + (1 - v) * cu
-            post_cl = v * ncl_u + (1 - v) * cl
-            post_cs = v * ncs_u + (1 - v) * cs
-
-            # -- continuous predict (CRUCell.py:440-500) --
-            coeff = nn.softmax(dense(coeff_p, post_mean), axis=-1)  # [B, K]
-            tms = jnp.einsum("bk,skij->sbij", coeff, dense_basis)  # [4,B,l,l]
-            A = jnp.concatenate(
-                [jnp.concatenate([tms[0], tms[1]], -1),
-                 jnp.concatenate([tms[2], tms[3]], -1)], -2
-            )  # [B, lsd, lsd]
-            dt_b = dt[:, None, None]
-
-            Q = jax.vmap(jnp.diag)(jnp.broadcast_to(trans_var, (post_mean.shape[0], lsd)))
-            # Van Loan block (CRUCell.py:369-391). ONE expm per step: the
-            # top-left block of exp(B*dt) IS exp(A*dt) (the reference
-            # computes both and asserts their closeness, CRUCell.py:380-381)
-            # — reusing M1 drops the second, smaller expm entirely.
-            # expm_taylor12 replaces jax.scipy.linalg.expm, whose per-order
-            # lax.cond computes every Padé branch under batching, and whose
-            # Padé form needs a batched LU solve (~8 matmuls on TPU).
-            Bm = jnp.concatenate(
-                [jnp.concatenate([A, Q], -1),
-                 jnp.concatenate([jnp.zeros_like(Q), -jnp.swapaxes(A, -2, -1)], -1)],
-                -2,
-            )
-            # solve-free Taylor (a batched LU solve costs ~8 matmuls on
-            # TPU); max_squarings=7 covers inf-norm <= 2^7 ~ 128 — far
-            # above trained transition norms (basis zero-init + wd)
-            exp_B = expm(Bm * dt_b, 7)
-            exp_A = exp_B[:, :lsd, :lsd]
-            M2 = exp_B[:, :lsd, lsd:]
-            prior_mean_next = jnp.einsum("bij,bj->bi", exp_A, post_mean)
-
-            # exp_A @ P as elementwise broadcasts (P's columns are 2-sparse:
-            # [[diag cu, diag cs],[diag cs, diag cl]]), then ONE matmul for
-            # (Cm @ exp_A^T) — measured faster than the diag-embed + two
-            # matmuls AND than the all-elementwise form on TPU (small 64x64
-            # matmuls are near-free on the MXU; long VPU chains are not)
-            eu = exp_A[:, :, :lod]   # [B, lsd, lod]
-            el = exp_A[:, :, lod:]
-            Cm = jnp.concatenate(
-                [eu * post_cu[:, None, :] + el * post_cs[:, None, :],
-                 eu * post_cs[:, None, :] + el * post_cl[:, None, :]], -1
-            ) + M2  # [B, lsd, lsd]
-            prior_covar = Cm @ jnp.swapaxes(exp_A, -2, -1)
-            diag = lambda m: jnp.diagonal(m, axis1=-2, axis2=-1)
-            ncu = diag(prior_covar[:, :lod, :lod])
-            ncl = diag(prior_covar[:, lod:, lod:])
-            ncs = diag(prior_covar[:, :lod, lod:])
-            return (prior_mean_next, ncu, ncl, ncs), (post_mean, post_cu, post_cl, post_cs)
-
-        init_carry = (
-            jnp.zeros((B, lsd)),
-            jnp.broadcast_to(_elup1(log_icu), (B, lod)),
-            jnp.broadcast_to(_elup1(log_icl), (B, lod)),
-            jnp.zeros((B, lod)),
-        )
+        # ---- Kalman scan (CRULayer.py:74-99, CRUCell.py:277-500) ----
+        # Factored into ops/cru_scan.py: the production path is the XLA
+        # lax.scan with one Pallas tiered-Taylor expm per step — measured
+        # at ~81% of the pure-expm structural floor (BENCHMARKS.md CRU
+        # ablation). The Van Loan block reuse (exp(B*dt)'s top-left block
+        # IS exp(A*dt), reference CRUCell.py:369-391) and the 2-sparse
+        # covariance propagation live in cru_scan's shared math. A fully
+        # fused whole-scan Pallas kernel (fwd + hand-derived reverse-time
+        # bwd) exists behind IMM_TSF_CRU_FUSED=1 — correctness-tested but
+        # measured slower (tests/test_cru_fused_scan.py; cru_scan.py
+        # docstring has the numbers).
         dts = jnp.concatenate(
             [all_tp[:, 1:] - all_tp[:, :-1], jnp.ones((B, 1))], axis=1
         )  # [B, T]; final dt=1 as in CRULayer.py:77-80
-        xs = (
-            y_mean.transpose(1, 0, 2),
-            y_var.transpose(1, 0, 2),
-            all_valid.transpose(1, 0),
-            dts.transpose(1, 0),
-        )
-        _, (post_means, post_cus, post_cls, post_css) = jax.lax.scan(
-            cell_step, init_carry, xs
-        )
-        post_means = post_means.transpose(1, 0, 2)  # [B, T, lsd]
+        post_means = cru_scan_auto(
+            y_mean, y_var, all_valid.astype(jnp.float32), dts,
+            coeff_p[0], coeff_p[1], dense_basis,
+            trans_var.reshape(lsd),
+            _elup1(log_icu).reshape(lod), _elup1(log_icl).reshape(lod),
+        )  # [B, T, lsd]
 
         # ---- decoder mean head (cru_models.py:107-127) ----
         dec_hidden = mlp3("dec_mean", lsd)

@@ -51,8 +51,11 @@ def _bmm(a, b):
     )
 
 
-def _expm_kernel(m_ref, out_ref, *, max_squarings: int):
-    M = m_ref[:, :, :]  # [TB, n, n] f32
+def expm_value(M, max_squarings: int):
+    """Tiered Taylor expm on a VALUE (not refs) — the in-kernel math shared
+    by `_expm_kernel` and the fused CRU-scan kernel (cru_scan_kernel.py).
+    Same numerics as `ops.expm.expm_taylor12` with real data-dependent
+    control flow (tier cond + only-as-needed squarings)."""
     c = _C
     n = M.shape[-1]
     I = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), M.shape)
@@ -86,9 +89,13 @@ def _expm_kernel(m_ref, out_ref, *, max_squarings: int):
         _, R = jax.lax.while_loop(lambda cr: cr[0] < k_max, body, (0, R))
         return R
 
-    out_ref[:, :, :] = jax.lax.cond(
+    return jax.lax.cond(
         jnp.max(norm) <= _THETA_T4, taylor4, taylor12_squared
     )
+
+
+def _expm_kernel(m_ref, out_ref, *, max_squarings: int):
+    out_ref[:, :, :] = expm_value(m_ref[:, :, :], max_squarings)
 
 
 def _pmm(p, q):
@@ -99,15 +106,15 @@ def _pmm(p, q):
     return _bmm(X, Y), _bmm(X, dY) + _bmm(dX, Y)
 
 
-def _expm_frechet_kernel(m_ref, e_ref, out_ref, *, max_squarings: int):
+def frechet_value(M, E, max_squarings: int):
     """L_exp(M)[E]: the Frechet derivative of expm at M in direction E,
     via the SAME Taylor-12 + scaling-and-squaring recursion evaluated on
     (value, derivative) pairs — exp([[M,E],[0,M]]) restricted to its
     top-right block, at 3/8 of the naive 2n-dim block cost (Al-Mohy &
     Higham 2009 algorithm structure). The scaling exponent depends on M
-    only (L is linear in E, no pre-scaling of the cotangent needed)."""
-    M = m_ref[:, :, :]
-    E = e_ref[:, :, :]
+    only (L is linear in E, no pre-scaling of the cotangent needed).
+    Value-level (shared by `_expm_frechet_kernel` and the fused CRU-scan
+    backward kernel)."""
     c = _C
     n = M.shape[-1]
     I = jnp.broadcast_to(jnp.eye(n, dtype=jnp.float32), M.shape)
@@ -143,7 +150,13 @@ def _expm_frechet_kernel(m_ref, e_ref, out_ref, *, max_squarings: int):
     _, _, L = jax.lax.while_loop(
         lambda cr: cr[0] < k_max, body, (0, R[0], R[1])
     )
-    out_ref[:, :, :] = L
+    return L
+
+
+def _expm_frechet_kernel(m_ref, e_ref, out_ref, *, max_squarings: int):
+    out_ref[:, :, :] = frechet_value(
+        m_ref[:, :, :], e_ref[:, :, :], max_squarings
+    )
 
 
 def expm_frechet_pallas(M: jnp.ndarray, E: jnp.ndarray,
