@@ -17,6 +17,22 @@ Control flow (`lax.switch`) was measured 4.5x slower than computing all
 ~16 candidates: TPU conditionals serialize, break fusion, and force HBM
 materialization per branch, while the branch convs themselves are tiny
 (<0.3 GFLOP total) and run fully parallel with static shapes.
+
+Round-3 conv-path optimization (tools/bench_timesnet_decomp.py): the
+train step was conv-dispatch bound — ~15 candidate branches x 2
+inception convs x 2 layers, each a tiny [B, rows, period, 32] spatial
+conv that XLA executes at ~2 TFLOP/s effective. Two EXACT rewrites land
+a measured 1.6x step speedup (8.9k -> 14.1k windows/s at the zoo shape):
+(1) shape-bucketed canvas batching — candidates are zero-padded into a
+small set of common-shape canvases (DP partition minimizing padded
+cells x kernel taps + a per-dispatch penalty) and run as one conv per
+bucket per inception layer, with the inter-conv activation masked back
+to the true grid region so the SAME-pad zero semantics are preserved
+exactly; (2) kernel center-cropping — with SAME zero padding, kernel
+taps beyond +-(H-1) rows / +-(W-1) cols of a canvas only ever multiply
+pad zeros, so the fused 11x11 kernel crops to (2H-1, 2W-1) per canvas
+with bit-identical results (up to float re-association inside the conv
+reduction).
 """
 
 from __future__ import annotations
@@ -48,7 +64,7 @@ def _init_inception_params(mdl: nn.Module, name: str, c_in: int, c_out: int,
     return params
 
 
-def _apply_inception(params, x):
+def _apply_inception(params, x, crop=False):
     """x [B, H, W, C_in] -> mean over kernel sizes of SAME 2-D convs.
 
     Fused to ONE conv: with SAME zero padding, the mean of convs with
@@ -57,7 +73,13 @@ def _apply_inception(params, x):
     nothing at any position, borders included). Exact — validated by the
     TimesNet full-forward weight-parity test — and cheaper: 121 taps vs
     286 summed taps at num_kernels=6, one conv dispatch instead of six
-    (the TimesBlock branches are latency-bound small convs)."""
+    (the TimesBlock branches are latency-bound small convs).
+
+    With crop=True the fused kernel is additionally center-cropped to
+    (2H-1, 2W-1): under SAME zero padding, taps farther than H-1 rows /
+    W-1 cols from the center only ever multiply pad zeros, so the crop
+    is exact and saves most of the taps on skinny grids (e.g. the
+    [2, 72]-canvas bucket runs a 3x11 kernel instead of 11x11)."""
     n = len(params)
     kmax = params[-1][0].shape[0]
     w_comb = jnp.zeros((kmax, kmax) + params[0][0].shape[2:], params[0][0].dtype)
@@ -67,11 +89,58 @@ def _apply_inception(params, x):
         o = (kmax - k) // 2
         w_comb = w_comb.at[o:o + k, o:o + k].add(w)
         b_comb = b_comb + b
+    if crop:
+        H, W = x.shape[1], x.shape[2]
+        kh = min(kmax, 2 * H - 1)
+        kw = min(kmax, 2 * W - 1)
+        oh, ow = (kmax - kh) // 2, (kmax - kw) // 2
+        w_comb = w_comb[oh:oh + kh, ow:ow + kw]
     out = jax.lax.conv_general_dilated(
         x, w_comb / n, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return out + b_comb / n
+
+
+# per-conv-dispatch penalty (in padded-cell units) for the canvas-bucket
+# partition below; 60 measured best on TPU v5e (tools/bench_timesnet_decomp
+# FIX sweep: 30/60/100/150/300 -> 60 and 100 pick the same 7-bucket split)
+_BUCKET_FIX = 60
+
+
+def _bucket_partition(T: int, kmax: int):
+    """Static DP partition of the candidate periods into canvas buckets.
+
+    Candidates (sorted by grid rows desc) are split into contiguous
+    groups; each group shares one zero-padded canvas of shape
+    [max rows, max period], so the 2 inception convs run once per group
+    instead of once per candidate. Cost per group = padded cells x the
+    cropped-kernel tap fraction + _BUCKET_FIX (the measured per-dispatch
+    overhead in cell units). Returns (cand, buckets) with buckets =
+    [(members: list[(rows, period)], hb, wb)], members in `cand` order
+    within each bucket."""
+    F = T // 2 + 1
+    f_to_period = [T] + [T // f for f in range(1, F)]
+    cand = sorted(set(int(p) for p in f_to_period if p >= 1))
+    grids = [((T + p - 1) // p, p) for p in cand]
+    order = sorted(range(len(cand)), key=lambda i: (-grids[i][0], grids[i][1]))
+    n = len(order)
+    best = [None] * (n + 1)
+    best[0] = (0.0, [])
+    for j in range(1, n + 1):
+        for i in range(j):
+            hb = max(grids[order[t]][0] for t in range(i, j))
+            wb = max(grids[order[t]][1] for t in range(i, j))
+            taps = (min(kmax, 2 * hb - 1) * min(kmax, 2 * wb - 1)) / (
+                kmax * kmax)
+            cost = best[i][0] + (j - i) * hb * wb * taps + _BUCKET_FIX
+            if best[j] is None or cost < best[j][0]:
+                best[j] = (cost, best[i][1] + [(i, j, hb, wb)])
+    buckets = [
+        ([(order[t], grids[order[t]]) for t in range(i, j)], hb, wb)
+        for (i, j, hb, wb) in best[n][1]
+    ]
+    return cand, buckets
 
 
 class TimesBlock(nn.Module):
@@ -94,7 +163,7 @@ class TimesBlock(nn.Module):
         # static candidate periods and f -> branch lookup
         F = T // 2 + 1
         f_to_period = np.array([T] + [T // f for f in range(1, F)], np.int64)
-        cand = sorted(set(int(p) for p in f_to_period if p >= 1))
+        cand, buckets = _bucket_partition(T, 2 * cfg.num_kernels - 1)
         period_to_branch = {p: i for i, p in enumerate(cand)}
         lookup = jnp.asarray(
             [period_to_branch[int(p)] for p in f_to_period], jnp.int32
@@ -105,27 +174,40 @@ class TimesBlock(nn.Module):
         conv2_p = _init_inception_params(self, "conv2", cfg.d_ff, cfg.d_model,
                                          cfg.num_kernels)
 
-        def make_branch(period: int):
-            def branch(xx):
-                # pad to a multiple of period, reshape to [B, rows, period, N]
-                if T % period != 0:
-                    length = ((T // period) + 1) * period
-                    xx = jnp.pad(xx, ((0, 0), (0, length - T), (0, 0)))
-                else:
-                    length = T
-                grid = xx.reshape(B, length // period, period, N)
-                out = _apply_inception(conv2_p, nn.gelu(_apply_inception(conv1_p, grid)))
-                return out.reshape(B, length, N)[:, :T, :]
-
-            return branch
-
         # run every candidate branch unconditionally (static shapes, no
-        # control flow), then gather the k top-frequency outputs — an exact
+        # control flow) with canvas bucketing (see module docstring): each
+        # bucket zero-pads its member grids to a common [hb, wb] canvas,
+        # stacks them along batch, and runs the two inception convs ONCE;
+        # the inter-conv activation is masked back to the true grid region
+        # so conv2 sees exactly the SAME-pad zeros the per-branch code
+        # would. Then gather the k top-frequency outputs — an exact
         # selection (a one-hot einsum would bf16-round every element at
         # default TPU matmul precision), with no gradient through the
         # indices — identical semantics to a lax.switch per frequency, but
         # 4.5x faster on TPU where conditionals serialize and spill to HBM
-        outs = jnp.stack([make_branch(p)(x) for p in cand])  # [n_cand, B, T, N]
+        outs = [None] * len(cand)
+        for members, hb, wb in buckets:
+            canv = []
+            needs_mask = any(h != hb or w != wb for _, (h, w) in members)
+            mask_np = np.zeros((len(members), 1, hb, wb, 1), np.float32)
+            for m, (ci, (h, w)) in enumerate(members):
+                length = h * w
+                xx = jnp.pad(x, ((0, 0), (0, length - T), (0, 0))) \
+                    if length != T else x
+                grid = xx.reshape(B, h, w, N)
+                canv.append(jnp.pad(
+                    grid, ((0, 0), (0, hb - h), (0, wb - w), (0, 0))))
+                mask_np[m, 0, :h, :w, 0] = 1.0
+            canvas = jnp.concatenate(canv, axis=0)  # [nb*B, hb, wb, N]
+            h1 = nn.gelu(_apply_inception(conv1_p, canvas, crop=True))
+            if needs_mask:
+                h1 = (h1.reshape(len(members), B, hb, wb, -1)
+                      * jnp.asarray(mask_np)).reshape(-1, hb, wb, h1.shape[-1])
+            o = _apply_inception(conv2_p, h1, crop=True)
+            for m, (ci, (h, w)) in enumerate(members):
+                outs[ci] = o[m * B:(m + 1) * B, :h, :w, :].reshape(
+                    B, h * w, N)[:, :T, :]
+        outs = jnp.stack(outs)  # [n_cand, B, T, N]
         res = jnp.moveaxis(
             jnp.take(outs, lookup[top_list], axis=0), 0, -1
         )  # [B, T, N, k]
