@@ -8,7 +8,10 @@ d_model=d_ff=32, top_k=5, num_kernels=6 -> 16 candidate periods over
 T=72). Reference hot path: models/TimesNet.py:9-65.
 
 Variants:
-  base      stock model (BENCHMARKS.md row)
+  base      stock PRODUCTION model (canvas-bucketed + kernel-cropped
+            branch convs since round 3)
+  prebucket the pre-round-3 TimesBlock (one conv pair per candidate
+            branch, full 11x11 kernels) — the historical baseline
   noconv    _apply_inception -> identity (branch convs removed; the 16
             all-candidate pad/reshape/slice branch skeletons remain)
   nobranch  whole candidate-branch stack -> identity (TimesBlock becomes
@@ -39,7 +42,7 @@ from imm_tsf_tpu.config import MODEL_PRESETS, Config
 import imm_tsf_tpu.models.timesnet as tn
 
 B, L, Lp, C = 64, 48, 24, 8
-VARIANTS = ("base", "noconv", "nobranch", "fixedsel", "nk1", "el1",
+VARIANTS = ("base", "prebucket", "noconv", "nobranch", "fixedsel", "nk1", "el1",
             "crop", "bf16conv", "crop_bf16", "bucket")
 
 
@@ -63,7 +66,57 @@ def run_variant(variant: str) -> float:
         # identity inception (d_model == d_ff at this shape); keeps the
         # params alive in the graph so init/Adam shapes are unchanged
         patch(tn, "_apply_inception",
-              lambda params, x: x + params[0][0].sum() * 1e-30)
+              lambda params, x, **kw: x + params[0][0].sum() * 1e-30)
+    elif variant == "prebucket":
+        import flax.linen as nn
+        import jax.numpy as jnp
+        import numpy as np
+
+        class PreBucketBlock(nn.Module):
+            """The pre-round-3 production TimesBlock: one conv pair per
+            candidate branch, full (uncropped) fused kernels."""
+
+            cfg: Config
+            total_len: int
+
+            @nn.compact
+            def __call__(self, x, train: bool = False):
+                c = self.cfg
+                Bx, T, N = x.shape
+                k = c.top_k
+                amp = jnp.abs(jnp.fft.rfft(x, axis=1))
+                frequency_list = amp.mean(axis=0).mean(axis=-1).at[0].set(0.0)
+                _, top_list = jax.lax.top_k(frequency_list, k)
+                period_weight = amp.mean(axis=-1)[:, top_list]
+
+                F = T // 2 + 1
+                f_to_period = np.array(
+                    [T] + [T // f for f in range(1, F)], np.int64)
+                cand = sorted(set(int(p) for p in f_to_period if p >= 1))
+                lookup = jnp.asarray(
+                    [cand.index(int(p)) for p in f_to_period], jnp.int32)
+
+                conv1_p = tn._init_inception_params(
+                    self, "conv1", c.d_model, c.d_ff, c.num_kernels)
+                conv2_p = tn._init_inception_params(
+                    self, "conv2", c.d_ff, c.d_model, c.num_kernels)
+
+                def branch(p):
+                    length = ((T + p - 1) // p) * p
+                    xx = jnp.pad(x, ((0, 0), (0, length - T), (0, 0))) \
+                        if length != T else x
+                    grid = xx.reshape(Bx, length // p, p, N)
+                    out = tn._apply_inception(
+                        conv2_p, nn.gelu(tn._apply_inception(conv1_p, grid)))
+                    return out.reshape(Bx, length, N)[:, :T, :]
+
+                outs = jnp.stack([branch(p) for p in cand])
+                res = jnp.moveaxis(
+                    jnp.take(outs, lookup[top_list], axis=0), 0, -1)
+                pw = nn.softmax(period_weight, axis=1)
+                return (res * pw[:, None, None, :]).sum(axis=-1) + x
+
+        patch(tn, "TimesBlock", PreBucketBlock)
     elif variant == "nobranch":
         # whole candidate stack (pad/reshape/conv/slice x16 + gather) gone:
         # TimesBlock reduced to FFT + top_k + softmax-weighted residual
@@ -87,7 +140,7 @@ def run_variant(variant: str) -> float:
     elif variant in ("crop", "bf16conv", "crop_bf16"):
         import jax.numpy as jnp
 
-        def apply_inception(params, x):
+        def apply_inception(params, x, **kw):
             n = len(params)
             kmax = params[-1][0].shape[0]
             w_comb = jnp.zeros((kmax, kmax) + params[0][0].shape[2:],
