@@ -119,13 +119,28 @@ def bench_jax(cfg, batch, steps=100, return_flops=False):
     wps = B * steps / dt
     if not return_flops:
         return wps
+    # XLA's cost_analysis counts a lax.scan BODY ONCE, independent of trip
+    # count (verified: scan(matmul, 30) reports the same flops as the bare
+    # matmul), so the flops of ONE step come from lowering a single-step
+    # program — dividing the scan program's cost by `steps` understates by
+    # the trip count (the round-2 numbers had exactly that bug).
     flops_per_step = None
     try:
-        cost = run.lower(
+
+        @jax.jit
+        def one_step(params, stats, opt_state, rng):
+            rng, step_rng = jax.random.split(rng)
+            (loss, stats), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params, stats, step_rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), stats, opt_state, loss
+
+        cost = one_step.lower(
             params, stats, opt_state, step_key(1)
         ).compile().cost_analysis()
         if cost and cost.get("flops"):
-            flops_per_step = float(cost["flops"]) / steps
+            flops_per_step = float(cost["flops"])
     except Exception:
         pass
     return wps, flops_per_step
@@ -221,13 +236,19 @@ def bench_jax_stacked(cfg, batch, steps=50, replicas=8, return_flops=False):
     wps = B * steps * replicas / dt
     if not return_flops:
         return wps
+    # scan-body-once cost semantics (see bench_jax): lower ONE vmapped step
     flops_per_window = None
     try:
-        cost = run.lower(
+
+        @jax.jit
+        def one_step_v(params, stats, opt_state, rngs):
+            return step_v(params, stats, opt_state, rngs)
+
+        cost = one_step_v.lower(
             params, stats, opt_state, rngs
         ).compile().cost_analysis()
         if cost and cost.get("flops"):
-            flops_per_window = float(cost["flops"]) / (steps * replicas * B)
+            flops_per_window = float(cost["flops"]) / (replicas * B)
     except Exception:
         pass
     return wps, flops_per_window

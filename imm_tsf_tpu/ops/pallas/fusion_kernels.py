@@ -25,17 +25,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _recavg_kernel(sigma_ref, tau_ref, that_ref, v_ref, mask_ref,
+def _recavg_kernel(tau_ref, that_ref, v_ref, mask_ref,
                    out_ref, denom_ref):
-    # batch-tile VMEM blocks: tau/mask [TB, N], t_hat [TB, T], V [TB, N, d].
+    # batch-tile VMEM blocks: tau/mask [TB, N], t_hat [TB, T], V [TB, N, d];
+    # tau/t_hat arrive PRE-DIVIDED by sigma ((t-tau)/sigma == t/sigma -
+    # tau/sigma for sigma > 0), so the kernel has no scalar operand — an
+    # SMEM scalar input has no valid batched BlockSpec, which broke
+    # jax.vmap over the call (stacked seed replicas, bench_jax_stacked).
     # The [TB, N, T] weight tile exists only in VMEM; the weighted sum is a
     # batched MXU matmul.
-    sigma = sigma_ref[0]
     tau = tau_ref[:, :]
     that = that_ref[:, :]
     mask = mask_ref[:, :]
     delta = jnp.maximum(that[:, None, :] - tau[:, :, None], 0.0)
-    w = jnp.exp(-((delta / sigma) ** 2)) * mask[:, :, None]  # [TB, N, T]
+    w = jnp.exp(-(delta ** 2)) * mask[:, :, None]  # [TB, N, T]
     denom = jnp.clip(w.sum(axis=1), 1e-6, None)  # [TB, T]
     e = jax.lax.dot_general(
         w, v_ref[:, :, :],
@@ -65,15 +68,12 @@ def _recavg_pallas(tau, t_hat, V, mask, sigma):
     TB = B if interpret else _batch_tile(B, N, T, d)
     if TB == 0:  # no valid tiling -> XLA fallback
         return _recavg_xla(tau, t_hat, V, mask, sigma)
-    sigma_arr = jnp.full((1,), sigma, jnp.float32)
     grid = (B // TB,)
     sp = pltpu.ANY if interpret else pltpu.VMEM
     out, denom = pl.pallas_call(
         _recavg_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM) if not interpret
-            else pl.BlockSpec(memory_space=sp),
             pl.BlockSpec((TB, N), lambda b: (b, 0), memory_space=sp),
             pl.BlockSpec((TB, T), lambda b: (b, 0), memory_space=sp),
             pl.BlockSpec((TB, N, d), lambda b: (b, 0, 0), memory_space=sp),
@@ -88,7 +88,7 @@ def _recavg_pallas(tau, t_hat, V, mask, sigma):
             jax.ShapeDtypeStruct((B, T), jnp.float32),
         ],
         interpret=interpret,
-    )(sigma_arr, tau, t_hat, V, mask)
+    )(tau / sigma, t_hat / sigma, V, mask)
     return out, denom
 
 

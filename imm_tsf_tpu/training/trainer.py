@@ -107,6 +107,19 @@ def init_params(cfg: Config, model, fusion, sample_batch: dict, rng):
     return params
 
 
+def _stop_frozen_grads(params):
+    """stop_gradient every leaf under a FROZEN_SUBTREE-named node (the
+    optimizer's freeze label, optim.py:_label_tree) so XLA never emits
+    their wgrad matmuls."""
+    from .optim import FROZEN_SUBTREE
+
+    def visit(path, leaf):
+        names = {getattr(p, "key", getattr(p, "name", None)) for p in path}
+        return jax.lax.stop_gradient(leaf) if FROZEN_SUBTREE in names else leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
+
+
 def make_forward(cfg: Config, model, fusion):
     """compute_all_losses's forward path (reference lib/evaluation.py:72-100).
 
@@ -130,6 +143,16 @@ def make_forward(cfg: Config, model, fusion):
         return _forward(params, stats, batch, train, rng)
 
     def _forward(params, stats, batch, train: bool, rng):
+        # Frozen-LLM subtrees take no optimizer updates (optim.py
+        # set_to_zero), but without this value_and_grad would still COMPUTE
+        # their weight gradients — a full wgrad matmul per frozen linear,
+        # ~1/3 of the LLM's step FLOPs thrown away (the reference skips
+        # them via requires_grad=False, load_llm.py:117-118). stop_gradient
+        # on the frozen leaves lets XLA drop those matmuls; train-param
+        # gradients and trajectories are bit-identical (activation grads
+        # still flow THROUGH the frozen matmuls, and the global-norm clip
+        # only ever saw train-labeled leaves).
+        params = _stop_frozen_grads(params)
         if stats is None:
             stats = {"model": {}, "fusion": {}}
         rngs = {"dropout": rng} if train else None

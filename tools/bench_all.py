@@ -97,12 +97,14 @@ def main():
         "# BENCHMARKS — training-step throughput (windows/sec/chip)\n\n"
         f"Measured on 1x TPU v5e chip (platform `{platform}`; jitted train\n"
         "step incl. fwd+bwd+Adam; device-side 30-step scan; B=64, L=48,\n"
-        "Lp=24, C=8; random weights). MFU = XLA-cost-model FLOPs/step x\n"
-        "steps/s over the 197 TFLOP/s v5e nominal peak (indicative only —\n"
-        "see the tunnel-measurement note in docs/ARCHITECTURE.md) — these\n"
-        "workloads are small and latency/VPU-bound by design (reference\n"
-        "batch shapes). The torch reference on a CPU core runs the\n"
-        "PatchTST+fusion combo at ~22-25 windows/s (bench.py vs_baseline).\n\n"
+        "Lp=24, C=8; random weights). MFU = XLA-cost-model FLOPs of ONE\n"
+        "train step (single-step program lowering — XLA counts a lax.scan\n"
+        "body once regardless of trip count, so the round-2 numbers that\n"
+        "divided the scan program's cost by `steps` were ~30x understated)\n"
+        "x steps/s over the 197 TFLOP/s v5e nominal peak (indicative —\n"
+        "see the tunnel-measurement note in docs/ARCHITECTURE.md). The\n"
+        "torch reference on a CPU core runs the PatchTST+fusion combo at\n"
+        "~22-25 windows/s (bench.py vs_baseline).\n\n"
         "| Config | windows/s/chip | MFU | GFLOP/step | wall (incl. compile) s |\n"
         "|---|---|---|---|---|\n"
     )
