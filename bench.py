@@ -403,11 +403,21 @@ def main():
     # vmapped program — the honest per-chip number for the workload the
     # reference actually runs (a 247-combo sweep). Per-replica math is
     # identical to single-stream (tests/test_vmap_sweep.py bit-match).
+    # IMM_TSF_BENCH_REPLICAS=0 skips the stacked stage (it multiplies HBM
+    # use ~Rx, which can OOM larger configs where only the single-stream
+    # number is wanted — ADVICE r3); a stacked-stage failure must not
+    # discard the already-measured single-stream result.
     R = int(os.environ.get("IMM_TSF_BENCH_REPLICAS", "8"))
-    stacked, flops_per_window = bench_jax_stacked(
-        cfg, batch, steps=50, replicas=R, return_flops=True
-    )
-    u_stacked = mfu(stacked, flops_per_window, 1)
+    stacked = u_stacked = None
+    if R > 0:
+        try:
+            stacked, flops_per_window = bench_jax_stacked(
+                cfg, batch, steps=50, replicas=R, return_flops=True
+            )
+            u_stacked = mfu(stacked, flops_per_window, 1)
+        except Exception as e:  # noqa: BLE001 — OOM/compile failures
+            print(f"# stacked stage failed ({type(e).__name__}: {e}); "
+                  f"reporting single-stream only", file=sys.stderr)
 
     out = {
         "metric": "forecast_windows_per_sec_per_chip",
@@ -415,8 +425,10 @@ def main():
         "unit": "windows/s/chip",
         "vs_baseline": round(vs, 2) if ref else None,
         "stacked_replicas": R,
-        "stacked_windows_per_sec_per_chip": round(stacked, 2),
-        "stacked_vs_baseline": round(stacked / ref, 2) if ref else None,
+        "stacked_windows_per_sec_per_chip":
+            round(stacked, 2) if stacked else None,
+        "stacked_vs_baseline":
+            round(stacked / ref, 2) if (stacked and ref) else None,
         "stacked_mfu_pct": round(u_stacked * 100, 2) if u_stacked else None,
         "single_stream_mfu_pct": round(u * 100, 2) if u else None,
     }
@@ -429,7 +441,7 @@ def main():
         print(f"# single-stream MFU {u * 100:.2f}% "
               f"({flops_per_step / 1e9:.2f} GFLOP/step, XLA cost model, vs "
               f"{peak:.0f} TFLOP/s {platform} peak)", file=sys.stderr)
-    if u_stacked is not None:
+    if u_stacked is not None and stacked is not None:
         print(f"# stacked x{R} MFU {u_stacked * 100:.2f}% "
               f"({stacked:.0f} windows/s/chip aggregate, "
               f"{stacked / ours:.1f}x single-stream)", file=sys.stderr)

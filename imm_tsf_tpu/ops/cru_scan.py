@@ -135,9 +135,10 @@ def cru_scan_xla(y_mean, y_var, valid, dts, coeff_w, coeff_b, dense_basis,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
 def cru_scan(y_mean, y_var, valid, dts, coeff_w, coeff_b, dense_basis,
              trans_var, init_cu, init_cl, max_squarings: int = 7):
-    """Fused CRU Kalman scan: ONE Pallas program per batch tile on TPU
-    (forward and backward), the XLA lax.scan elsewhere. Gradients flow to
-    y_mean, y_var and all params; valid/dts are data (zero cotangents)."""
+    """Fused CRU Kalman scan: ONE Pallas program per batch tile (forward
+    and backward, always the kernels — dispatch vs the XLA lax.scan path
+    lives in cru_scan_auto). Gradients flow to y_mean, y_var and all
+    params; valid/dts are data (zero cotangents)."""
     return _fwd_impl(y_mean, y_var, valid, dts, coeff_w, coeff_b,
                      dense_basis, trans_var, init_cu, init_cl,
                      max_squarings)[0]
@@ -178,17 +179,16 @@ def cru_scan_auto(y_mean, y_var, valid, dts, coeff_w, coeff_b, dense_basis,
 
 def _fwd_impl(y_mean, y_var, valid, dts, coeff_w, coeff_b, dense_basis,
               trans_var, init_cu, init_cl, max_squarings):
-    if _use_fused():
-        from .pallas.cru_scan_kernel import cru_scan_fwd_pallas
+    # `cru_scan` (the custom-vjp op) is ALWAYS the fused-kernel path;
+    # fused-vs-XLA dispatch lives solely in cru_scan_auto so fwd and bwd
+    # cannot disagree if IMM_TSF_CRU_FUSED is toggled mid-process
+    # (ADVICE r3).
+    from .pallas.cru_scan_kernel import cru_scan_fwd_pallas
 
-        return cru_scan_fwd_pallas(
-            y_mean, y_var, valid, dts, coeff_w, coeff_b,
-            _build_bigG(dense_basis), _build_qb(trans_var),
-            init_cu, init_cl, max_squarings)
-    out = cru_scan_xla(y_mean, y_var, valid, dts, coeff_w, coeff_b,
-                       dense_basis, trans_var, init_cu, init_cl,
-                       max_squarings)
-    return out, None
+    return cru_scan_fwd_pallas(
+        y_mean, y_var, valid, dts, coeff_w, coeff_b,
+        _build_bigG(dense_basis), _build_qb(trans_var),
+        init_cu, init_cl, max_squarings)
 
 
 def _cru_scan_fwd(y_mean, y_var, valid, dts, coeff_w, coeff_b, dense_basis,
@@ -205,40 +205,31 @@ def _cru_scan_bwd(max_squarings, saved, g):
     args, residuals = saved
     (y_mean, y_var, valid, dts, coeff_w, coeff_b, dense_basis,
      trans_var, init_cu, init_cl) = args
-    if residuals is not None:
-        from .pallas.cru_scan_kernel import cru_scan_bwd_pallas
+    # _fwd_impl is unconditionally the fused kernel, so residuals always
+    # exist; a recompute-from-scratch fallback here would silently double
+    # backward cost (ADVICE r3).
+    assert residuals is not None, "cru_scan bwd called without fwd residuals"
+    from .pallas.cru_scan_kernel import cru_scan_bwd_pallas
 
-        (g_y, g_yv, g_w, g_b, g_bigG, g_q, g_icu, g_icl) = cru_scan_bwd_pallas(
-            y_mean, y_var, valid, dts, coeff_w, coeff_b,
-            _build_bigG(dense_basis), _build_qb(trans_var),
-            init_cu, init_cl, residuals, g, max_squarings)
-        # chain bigG/qb cotangents back to dense_basis/trans_var: both
-        # builders are linear block placements, so the pullback is block
-        # extraction (transpose of _build_bigG / _build_qb)
-        lsd = coeff_w.shape[0]
-        lod = lsd // 2
-        gA = g_bigG[:, :lsd, :lsd] - jnp.swapaxes(
-            g_bigG[:, lsd:, lsd:], -1, -2)  # [K, lsd, lsd]
-        g_basis = jnp.stack([
-            gA[:, :lod, :lod], gA[:, :lod, lod:],
-            gA[:, lod:, :lod], gA[:, lod:, lod:],
-        ])  # [4, K, lod, lod]
-        g_tv = g_q.reshape(trans_var.shape)
-        return (g_y, g_yv, jnp.zeros_like(valid), jnp.zeros_like(dts),
-                g_w, g_b, g_basis, g_tv,
-                g_icu.reshape(init_cu.shape), g_icl.reshape(init_cl.shape))
-    # XLA path: plain autodiff through the reference scan
-    def f(y_mean, y_var, coeff_w, coeff_b, dense_basis, trans_var,
-          init_cu, init_cl):
-        return cru_scan_xla(y_mean, y_var, valid, dts, coeff_w, coeff_b,
-                            dense_basis, trans_var, init_cu, init_cl,
-                            max_squarings)
-
-    _, vjp_fn = jax.vjp(f, y_mean, y_var, coeff_w, coeff_b, dense_basis,
-                        trans_var, init_cu, init_cl)
-    g_y, g_yv, g_w, g_b, g_basis, g_tv, g_icu, g_icl = vjp_fn(g)
+    (g_y, g_yv, g_w, g_b, g_bigG, g_q, g_icu, g_icl) = cru_scan_bwd_pallas(
+        y_mean, y_var, valid, dts, coeff_w, coeff_b,
+        _build_bigG(dense_basis), _build_qb(trans_var),
+        init_cu, init_cl, residuals, g, max_squarings)
+    # chain bigG/qb cotangents back to dense_basis/trans_var: both
+    # builders are linear block placements, so the pullback is block
+    # extraction (transpose of _build_bigG / _build_qb)
+    lsd = coeff_w.shape[0]
+    lod = lsd // 2
+    gA = g_bigG[:, :lsd, :lsd] - jnp.swapaxes(
+        g_bigG[:, lsd:, lsd:], -1, -2)  # [K, lsd, lsd]
+    g_basis = jnp.stack([
+        gA[:, :lod, :lod], gA[:, :lod, lod:],
+        gA[:, lod:, :lod], gA[:, lod:, lod:],
+    ])  # [4, K, lod, lod]
+    g_tv = g_q.reshape(trans_var.shape)
     return (g_y, g_yv, jnp.zeros_like(valid), jnp.zeros_like(dts),
-            g_w, g_b, g_basis, g_tv, g_icu, g_icl)
+            g_w, g_b, g_basis, g_tv,
+            g_icu.reshape(init_cu.shape), g_icl.reshape(init_cl.shape))
 
 
 cru_scan.defvjp(_cru_scan_fwd, _cru_scan_bwd)

@@ -89,6 +89,11 @@ def _recavg_pallas(tau, t_hat, V, mask, sigma):
         ],
         interpret=interpret,
     )(tau / sigma, t_hat / sigma, V, mask)
+    # NOTE: pre-dividing computes t/σ − τ/σ rather than (t−τ)/σ. For
+    # σ = exp(logσ) > 0 these are mathematically equal but can differ at
+    # ulp level from _recavg_xla and from the backward pass's recompute of
+    # w — comparisons against the XLA fallback must use tolerances, not
+    # exact equality (ADVICE r3).
     return out, denom
 
 

@@ -294,6 +294,17 @@ def run(n_devices: int) -> None:
     if n_devices % 4 == 0:  # tp=4 must divide the head/hidden dims
         _llama_tensor_parallel(n_devices)
     _trainable_e2e(n_devices)
+    if os.environ.get("IMM_TSF_DRYRUN_MULTIPROC") == "1" and n_devices % 2 == 0:
+        # opt-in: TRUE multi-process DP (2 processes x n/2 devices each,
+        # coordination service + gloo) — the §2.8/§5.8 DCN-analog path;
+        # also exercised by tests/test_multiprocess_dp.py
+        from .multiproc import launch_multiprocess_dp
+
+        results = launch_multiprocess_dp(num_processes=2,
+                                         n_local=n_devices // 2, n_steps=1)
+        assert results[0] == results[1]
+        print(f"  dryrun[multiproc-DP](2x{n_devices // 2} devices): "
+              f"loss={results[0][0]:.5f} OK", flush=True)
     print(f"dryrun_multichip({n_devices}): OK", flush=True)
 
 

@@ -11,6 +11,8 @@ invariant to bucket/global padding.
 
 from __future__ import annotations
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -97,16 +99,21 @@ def finalize_metrics(acc: dict) -> dict:
     mse = float((se / (cnt + 1e-8)).sum() / n_avai)
     mae = float((ae / (cnt + 1e-8)).sum() / n_avai)
     if n_avai_mape == 0:
-        # align with the MSE/MAE guard above: the reference would return
-        # 0/0→NaN-ish 0.0 when every truth value is exactly zero
-        # (lib/evaluation.py:275); fail loudly instead of reporting a
-        # silently-perfect 0.0 MAPE
-        raise ValueError(
+        # MAPE is undefined when every masked truth is exactly zero
+        # (lib/evaluation.py:275 would report 0.0). That is degenerate but
+        # VALID data — MSE/MAE are still well-defined — so warn and report
+        # NaN rather than aborting the run; the hard raise above is
+        # reserved for the n_avai==0 broken-pipeline case.
+        warnings.warn(
             "finalize_metrics: zero nonzero-truth observations across the "
             "whole split — MAPE is undefined (all ground-truth values are "
-            "exactly zero under the mask)"
+            "exactly zero under the mask); reporting MAPE=nan",
+            RuntimeWarning,
+            stacklevel=2,
         )
-    mape = float((ape / (cnt_mape + 1e-8)).sum() / n_avai_mape)
+        mape = float("nan")
+    else:
+        mape = float((ape / (cnt_mape + 1e-8)).sum() / n_avai_mape)
     return {
         "loss": mse,
         "mse": mse,

@@ -33,7 +33,24 @@ def install_stubs() -> None:
         sys.modules["prettytable"] = mod
     if "tqdm" not in sys.modules:
         mod = types.ModuleType("tqdm")
-        mod.tqdm = lambda x, *a, **k: x
+
+        class _Tqdm:
+            """Pass-through iterator with the progress-bar methods the
+            reference epoch loop calls (main.py:1064,1105)."""
+
+            def __init__(self, iterable=None, *a, **k):
+                self._it = iterable
+
+            def __iter__(self):
+                return iter(self._it)
+
+            def set_description(self, *a, **k):
+                pass
+
+            def close(self):
+                pass
+
+        mod.tqdm = _Tqdm
         sys.modules["tqdm"] = mod
     if "reformer_pytorch" not in sys.modules:
         mod = types.ModuleType("reformer_pytorch")

@@ -15,10 +15,11 @@ def test_finalize_metrics_zero_observed_raises():
         finalize_metrics(acc)
 
 
-def test_finalize_metrics_zero_nonzero_truth_raises():
-    """VERDICT r2 weak #6: an eval split whose ground truth is exactly zero
-    everywhere under the mask has an undefined MAPE — raise like the
-    MSE/MAE guard instead of silently reporting a perfect 0.0."""
+def test_finalize_metrics_zero_nonzero_truth_warns_nan_mape():
+    """ADVICE r3: all-zero ground truth under the mask is degenerate but
+    VALID data — MSE/MAE stay well-defined, so the run must not abort.
+    MAPE is reported as NaN with a warning instead of a silently-perfect
+    0.0 (the reference's 0/0 at lib/evaluation.py:275)."""
     from imm_tsf_tpu.training.evaluation import finalize_metrics
 
     acc = {
@@ -28,8 +29,11 @@ def test_finalize_metrics_zero_nonzero_truth_raises():
         "cnt": np.array([2.0, 1.0]),
         "cnt_mape": np.array([0.0, 0.0]),  # no nonzero-truth observations
     }
-    with pytest.raises(ValueError, match="MAPE is undefined"):
-        finalize_metrics(acc)
+    with pytest.warns(RuntimeWarning, match="MAPE is undefined"):
+        m = finalize_metrics(acc)
+    assert abs(m["mse"] - 1.5) < 1e-6  # (4/2 + 1/1) / 2
+    assert abs(m["mae"] - 1.0) < 1e-6
+    assert np.isnan(m["mape"])
 
 
 def test_finalize_metrics_partial_variables_ok():
