@@ -139,10 +139,12 @@ def _train_ours(root, dataset, model_name, seed=1, epochs=EPOCHS, **over):
 
 
 def _seed_band_parity(key, run_ref, run_ours, rel=0.12, floor=5e-3,
-                      seeds=(1, 2, 3)):
+                      seeds=(1, 2, 3), force_band=False):
     """Single-seed comparison; widens to a 3-seed band when the one-seed
     delta exceeds 4% (round-2 rule: single stochastic draws of a noisy
-    optimum can't be held to a tight band)."""
+    optimum can't be held to a tight band). force_band=True always runs
+    the full band (VERDICT r3 action #4: rows sitting just under the 4%
+    trigger are one seed away from hiding a real gap)."""
     refs = {seeds[0]: run_ref(seeds[0])}
     ours = {seeds[0]: run_ours(seeds[0])}
     r1, o1 = refs[seeds[0]], ours[seeds[0]]
@@ -156,7 +158,7 @@ def _seed_band_parity(key, run_ref, run_ours, rel=0.12, floor=5e-3,
         "ref_mae": round(float(r1["mae"]), 6),
         "rel_delta_mae": round(abs(o1["mae"] - r1["mae"]) / r1["mae"], 4),
     }
-    if delta1 <= 0.04:
+    if delta1 <= 0.04 and not force_band:
         _record(key, entry)
         assert abs(o1["mse"] - r1["mse"]) < max(rel * r1["mse"], floor), (
             key, o1["mse"], r1["mse"])
@@ -247,6 +249,37 @@ def test_tpatchgnn_fusion_training_quality_parity(synth_root):
         lambda s: _train_ours(synth_root, "EPA-Air", "tPatchGNN", seed=s,
                               enable_text=True, use_text_embeddings=True,
                               **hp),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 action #4: the two rows that sat just under the 4% band
+# trigger on one seed (tPatchGNN fusion 3.9%, MIMIC/DLinear 3.3%) get an
+# unconditional 3-seed band — one seed could mask a real gap.
+
+
+def test_tpatchgnn_fusion_seed_band(synth_root):
+    hp = dict(hid_dim=16, te_dim=10, node_dim=10, nlayer=1, tf_layer=1,
+              n_heads=1, outlayer="Linear",
+              patch_size=3, patch_stride=2, npatch=3,
+              TTF_module="TTF_RecAvg", MMF_module="MMF_GR_Add", **FUSION_HP)
+    _seed_band_parity(
+        "tPatchGNN+TTF_RecAvg+MMF_GR_Add@3seed",
+        lambda s: _train_reference(synth_root, "EPA-Air", "tPatchGNN",
+                                   seed=s, fusion_on=True, **hp),
+        lambda s: _train_ours(synth_root, "EPA-Air", "tPatchGNN", seed=s,
+                              enable_text=True, use_text_embeddings=True,
+                              **hp),
+        force_band=True,
+    )
+
+
+def test_dlinear_mimic_seed_band(preset_roots):
+    _seed_band_parity(
+        "MIMIC/DLinear@3seed",
+        lambda s: _train_reference(preset_roots, "MIMIC", "DLinear", seed=s),
+        lambda s: _train_ours(preset_roots, "MIMIC", "DLinear", seed=s),
+        force_band=True,
     )
 
 
