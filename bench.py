@@ -419,6 +419,24 @@ def main():
             print(f"# stacked stage failed ({type(e).__name__}: {e}); "
                   f"reporting single-stream only", file=sys.stderr)
 
+    # CRU stacked stage (VERDICT r3 action #1): the slowest IMTS backbone's
+    # sweep-scale per-chip number. Stacking saturates ~1.38x at R=8 — the
+    # scan is 91% Van Loan expm whose cost grows with R*B (BENCHMARKS.md
+    # stacked-scaling section) — so this row reports the measured ceiling.
+    cru_stacked = None
+    if R > 0:
+        try:
+            from imm_tsf_tpu.config import MODEL_PRESETS
+
+            cru_cfg = Config(model="CRU", input_dim=C, input_len=L,
+                             pred_len=Lp, batch_size=B)
+            cru_cfg = cru_cfg.replace(**MODEL_PRESETS["CRU"])
+            cru_stacked = bench_jax_stacked(cru_cfg, batch, steps=30,
+                                            replicas=R)
+        except Exception as e:  # noqa: BLE001
+            print(f"# CRU stacked stage failed ({type(e).__name__}: {e})",
+                  file=sys.stderr)
+
     out = {
         "metric": "forecast_windows_per_sec_per_chip",
         "value": round(ours, 2),
@@ -431,6 +449,8 @@ def main():
             round(stacked / ref, 2) if (stacked and ref) else None,
         "stacked_mfu_pct": round(u_stacked * 100, 2) if u_stacked else None,
         "single_stream_mfu_pct": round(u * 100, 2) if u else None,
+        "cru_stacked_windows_per_sec_per_chip":
+            round(cru_stacked, 2) if cru_stacked else None,
     }
     print(json.dumps(out))
     if u is not None:

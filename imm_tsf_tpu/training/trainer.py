@@ -367,18 +367,30 @@ class _TimeLLMPromptLoader:
 
 
 def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
-              checkpoint_dir: str | None = None) -> dict:
+              checkpoint_dir: str | None = None,
+              timings: dict | None = None) -> dict:
     """Train one (dataset, model, fusion) combo; returns best-epoch test
-    metrics {loss, mse, mae, rmse, mape} (reference main.py:1176)."""
+    metrics {loss, mse, mae, rmse, mape} (reference main.py:1176).
+
+    timings, if given, is filled with wall-clock phase lists (seconds):
+    parse / setup (resident build+upload) / train (per epoch, device-
+    fenced) / val / test / checkpoint — the e2e decomposition used by
+    tools/bench_e2e_decomp.py."""
     from ..data.loader import parse_datasets
     from ..utils.platform import pin_platform
+
+    def _mark(key, dt):
+        if timings is not None:
+            timings.setdefault(key, []).append(dt)
 
     # before ANY backend touch in this process (jax.devices() in make_mesh,
     # embedding loads in parse_datasets)
     pin_platform(cfg.platform)
 
     if data_obj is None:
+        t0 = time.time()
         data_obj = parse_datasets(cfg, verbose=False)
+        _mark("parse", time.time() - t0)
     cfg = data_obj["cfg"]
 
     mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
@@ -494,6 +506,7 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
     # union axis) use the epoch-staged mode (host collate per epoch, one
     # stacked upload). Oversized splits or device_loop=False stream.
     epoch_mode = None  # "resident" | "staged" | None
+    _t_setup = time.time()
     if cfg.device_loop and not log_every:
         from . import device_loop as DL
 
@@ -552,7 +565,16 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                 epoch_mode = "staged"
                 logger.info("epoch-staged device loop (batch-dependent collate)")
 
+    _mark("setup", time.time() - _t_setup)
+
     def _eval(params, stats, which):
+        t0 = time.time()
+        try:
+            return _eval_inner(params, stats, which)
+        finally:
+            _mark(which, time.time() - t0)
+
+    def _eval_inner(params, stats, which):
         if epoch_mode == "resident":
             res, perm = ((res_val, perm_val) if which == "val"
                          else (res_test, perm_test))
@@ -658,6 +680,7 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                     if log_every and step % log_every == 0:
                         logger.info("epoch %d step %d loss %.5f", itr, step, last_loss)
 
+            _mark("train", time.time() - st)
             val_res = _eval(params, stats, "val")
             if profiling:
                 jax.block_until_ready(params)
@@ -688,6 +711,7 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
             )
 
             if checkpoint_dir is not None:
+                _t_ck = time.time()
                 from .checkpoint import save_checkpoint, save_train_state
 
                 shuffler = _find_shuffler(data_obj["train_dataloader"])
@@ -706,6 +730,7 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                     # model whose metrics are reported once training overfits
                     save_checkpoint(os.path.join(checkpoint_dir, "best"),
                                     params, stats, itr)
+                _mark("checkpoint", time.time() - _t_ck)
             logger.info(
                 "- Epoch %03d | train loss %.5f | val mse %.5f mae %.5f | %.2fs"
                 " | %.0f windows/s",

@@ -303,7 +303,13 @@ def main(argv=None):
     ap.add_argument("--seeds", type=int, default=1,
                     help="train N seed replicas per combo in one vmapped "
                          "program (training/vmap_sweep.py); per-seed "
-                         "metrics land in the result JSON")
+                         "metrics land in the result JSON. Measured "
+                         "aggregate scaling on one v5e chip (BENCHMARKS.md "
+                         "stacked-replica section): TimeMixer 10.3x@32, "
+                         "LatentODE 9.0x@64, NeuralFlow 7.4x@64; CRU caps "
+                         "at 1.38x@8 (expm-bound) and ~25%-MFU configs "
+                         "(PatchTST+fusion at B=64) at ~1.0x — pick N by "
+                         "model family")
     ap.add_argument("--lrs", nargs="+", type=float, default=None,
                     help="stack a learning-rate grid onto the vmapped "
                          "replicas; the result's primary metrics come from "

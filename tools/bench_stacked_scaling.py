@@ -60,7 +60,14 @@ def main():
     B, L, Lp, C = 64, 48, 24, 8
     std_batch = build_batch(B=B, L=L, Lp=Lp, C=C)
 
+    # merge with prior runs so partial reruns (--models/--replicas subsets)
+    # extend the table instead of overwriting it
     results = {}
+    try:
+        with open("/root/repo/BENCH_stacked.json") as f:
+            results = json.load(f).get("results", {})
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
     for name, preset, extra in combos():
         if args.models and name not in args.models:
             continue
@@ -70,16 +77,17 @@ def main():
                      llm_model_fusion="GPT2", TTF_module="TTF_RecAvg",
                      MMF_module="MMF_GR_Add")
         cfg = cfg.replace(**preset).replace(**extra)
-        row = {"single_stream": None, "curve": {}}
-        try:
-            w1, flops = bench_jax(cfg, std_batch, steps=args.steps,
-                                  return_flops=True)
-            u = mfu(w1, flops, B)
-            row["single_stream"] = round(w1, 1)
-            row["single_stream_mfu_pct"] = (
-                round(u * 100, 3) if u is not None else None)
-        except Exception as e:  # noqa: BLE001
-            row["error"] = f"single-stream: {e}"[:300]
+        row = results.get(name, {"single_stream": None, "curve": {}})
+        if row.get("single_stream") is None:
+            try:
+                w1, flops = bench_jax(cfg, std_batch, steps=args.steps,
+                                      return_flops=True)
+                u = mfu(w1, flops, B)
+                row["single_stream"] = round(w1, 1)
+                row["single_stream_mfu_pct"] = (
+                    round(u * 100, 3) if u is not None else None)
+            except Exception as e:  # noqa: BLE001
+                row["error"] = f"single-stream: {e}"[:300]
         for R in args.replicas:
             t0 = time.time()
             try:
@@ -116,7 +124,9 @@ def main():
         f"jitted fwd+bwd+Adam, device-side {args.steps}-step scan, B={B},\n"
         f"platform `{platform}`. 'x' = aggregate vs single-stream.\n\n",
     ]
-    Rs = [str(R) for R in args.replicas]
+    all_r = sorted({int(r) for row in results.values()
+                    for r in row.get("curve", {})})
+    Rs = [str(R) for R in all_r]
     lines.append("| Model | single-stream w/s (MFU) | " +
                  " | ".join(f"R={R}" for R in Rs) + " |\n")
     lines.append("|---|---|" + "---|" * len(Rs) + "\n")
@@ -126,7 +136,9 @@ def main():
         cells = []
         for R in Rs:
             c = row["curve"].get(R, {})
-            if "error" in c:
+            if not c:
+                cells.append("—")
+            elif "error" in c:
                 cells.append("OOM/err")
             else:
                 cells.append(f"{c['windows_per_sec_per_chip']:,.0f} "
