@@ -42,6 +42,7 @@ def compute_text_embeddings(
     llm_tp: int = 0,
     time_unit: str = "auto",
     unit_scale: float | None = None,
+    embed_dtype: str = "float32",
 ):
     from imm_tsf_tpu.data.dataset import UNIT_SECONDS, embeddings_filename
 
@@ -67,6 +68,13 @@ def compute_text_embeddings(
     mesh = resolve_llm_mesh(llm_model_fusion, llm_tp)
     if mesh is not None:
         print(f"[mesh] frozen LLM sharded over {dict(mesh.shape)}")
+    # bf16 matmuls on the MXU ~2x the frozen forward and halve its HBM
+    # traffic; pooling stays fp32 (llm/loader.py _get_pooled_fwd). Opt-in:
+    # the reference embeds in fp32 (load_llm.py loads default dtype), so
+    # float32 remains the parity default.
+    import jax.numpy as jnp
+
+    compute_dtype = {"float32": None, "bfloat16": jnp.bfloat16}[embed_dtype]
     from imm_tsf_tpu.llm.loader import embed_notes
 
     proc = os.path.join(data_root, data_name, "processed")
@@ -103,7 +111,8 @@ def compute_text_embeddings(
         te = time.perf_counter()
         emb, _ = embed_notes([notes], model, params, tokenizer,
                              max_length=max_length, token_batch=token_batch,
-                             stats_out=stats, mesh=mesh)
+                             stats_out=stats, mesh=mesh,
+                             compute_dtype=compute_dtype)
         te = time.perf_counter() - te
         n_calls += 1
         if n_calls > 1:  # first call pays the bucket-shape compiles
@@ -154,6 +163,10 @@ if __name__ == "__main__":
                          "(unknown datasets fall back to days)")
     ap.add_argument("--unit_scale", type=float, default=None,
                     help="seconds per unit when --time_unit=custom")
+    ap.add_argument("--embed_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="frozen-LLM forward dtype; bfloat16 ~2x on the MXU "
+                         "with fp32 pooling (reference parity = float32)")
     ap.add_argument("--platform", default="auto",
                     help="pin the jax backend platform (e.g. cpu) before "
                          "backend init; auto = default discovery")
@@ -166,5 +179,5 @@ if __name__ == "__main__":
             ds, args.llm_model_fusion, args.llm_layers_fusion, args.max_length,
             args.data_root, args.model_dir, args.overwrite,
             llm_tp=args.llm_tp, time_unit=args.time_unit,
-            unit_scale=args.unit_scale,
+            unit_scale=args.unit_scale, embed_dtype=args.embed_dtype,
         )

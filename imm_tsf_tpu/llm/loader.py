@@ -58,14 +58,22 @@ class HashTokenizer:
         self.pad_token_id = pad_token_id
 
     def __call__(self, texts, max_length: int = 1024):
-        ids, mask = [], []
-        for t in texts:
-            toks = [1 + (hash(w) % (self.vocab_size - 2)) for w in str(t).split()]
-            toks = toks[:max_length]
-            pad = max_length - len(toks)
-            ids.append(toks + [self.pad_token_id] * pad)
-            mask.append([1] * len(toks) + [0] * pad)
-        return np.asarray(ids, np.int32), np.asarray(mask, np.int32)
+        # Vectorized fill: building [pad]*~1000 Python lists per note made
+        # host tokenization cost ~4us/token — comparable to the device
+        # forward itself at sweep scale. Allocate once, fill real rows.
+        n = len(texts)
+        ids = np.zeros((n, max_length), np.int32)
+        if self.pad_token_id:
+            ids[:] = self.pad_token_id
+        mask = np.zeros((n, max_length), np.int32)
+        mod = self.vocab_size - 2
+        for i, t in enumerate(texts):
+            toks = [1 + (hash(w) % mod) for w in str(t).split()[:max_length]]
+            k = len(toks)
+            if k:
+                ids[i, :k] = toks
+                mask[i, :k] = 1
+        return ids, mask
 
 
 def _local_dir(alias: str, model_dir: str | None):
@@ -260,6 +268,9 @@ def _get_pooled_fwd(model):
         def fwd(p, ids, tok_mask):
             h = model.apply({"params": p}, input_ids=ids,
                             attn_mask=tok_mask.astype(bool))
+            # pool in fp32 regardless of compute dtype: a 1024-token
+            # masked mean in bf16 loses ~3 bits to summation error
+            h = h.astype(jnp.float32)
             m = tok_mask[:, :, None].astype(h.dtype)
             return (h * m).sum(1) / jnp.clip(m.sum(1), 1e-6, None)
 
@@ -270,18 +281,27 @@ def _get_pooled_fwd(model):
     return hit[1]
 
 
-def _get_dev_params(params, model=None, mesh=None):
-    """device_put the (frozen) param tree ONCE per (tree, mesh) identity —
-    without this every embed_notes call re-uploads the whole LLM
-    host->device (~500MB for GPT-2 per training batch in raw-text fusion).
-    With a mesh, weights land sharded per their partition specs."""
-    key = (id(params), id(mesh))
+def _get_dev_params(params, model=None, mesh=None, compute_dtype=None):
+    """device_put the (frozen) param tree ONCE per (tree, mesh, dtype)
+    identity — without this every embed_notes call re-uploads the whole
+    LLM host->device (~500MB for GPT-2 per training batch in raw-text
+    fusion). With a mesh, weights land sharded per their partition specs.
+    compute_dtype (e.g. jnp.bfloat16) casts the frozen weights once on
+    upload, halving HBM traffic for the forward."""
+    key = (id(params), id(mesh), compute_dtype)
     hit = _DEV_PARAMS.get(key)
     if hit is None or hit[0] is not params:
+        cast = ((lambda x: jnp.asarray(x, compute_dtype)
+                 if jnp.issubdtype(np.asarray(x).dtype, np.floating) else
+                 jnp.asarray(x)) if compute_dtype is not None else jnp.asarray)
         if mesh is not None:
             dev = shard_llm_params(model, params, mesh)
+            if compute_dtype is not None:
+                dev = jax.tree_util.tree_map(
+                    lambda x: x.astype(compute_dtype)
+                    if jnp.issubdtype(x.dtype, jnp.floating) else x, dev)
         else:
-            dev = jax.tree_util.tree_map(jnp.asarray, params)
+            dev = jax.tree_util.tree_map(cast, params)
         while len(_DEV_PARAMS) >= _CACHE_LIMIT:
             _DEV_PARAMS.pop(next(iter(_DEV_PARAMS)))
         _DEV_PARAMS[key] = (params, dev)
@@ -292,7 +312,7 @@ def _get_dev_params(params, model=None, mesh=None):
 def embed_notes(notes_text, model, params, tokenizer, max_length: int = 1024,
                 token_batch: int = 64, bucketed: bool = True,
                 token_budget: int = 32768, stats_out: dict | None = None,
-                mesh=None):
+                mesh=None, compute_dtype=None):
     """Ragged List[List[str]] -> ([B, N_max, d], bool note mask [B, N_max]).
 
     Matches reference load_llm.py:130-201 numerics (pad with "",
@@ -325,7 +345,7 @@ def embed_notes(notes_text, model, params, tokenizer, max_length: int = 1024,
     n_flat = len(flat)
 
     _fwd = _get_pooled_fwd(model)
-    dev_params = _get_dev_params(params, model, mesh)
+    dev_params = _get_dev_params(params, model, mesh, compute_dtype)
     if mesh is None:
         dp = 1
         fwd = lambda ids, tok_mask: _fwd(dev_params, ids, tok_mask)
@@ -367,6 +387,11 @@ def embed_notes(notes_text, model, params, tokenizer, max_length: int = 1024,
         for b in reversed(buckets):
             bucket_of[lengths <= b] = b
         emb = None
+        # Async dispatch: enqueue every bucket call without blocking, fetch
+        # once at the end. Per-call np.asarray() used to fence the (remote)
+        # chip after each dispatch, so device compute and host work
+        # serialized; deferring the fetch keeps the device queue full.
+        pending: list = []
         for b in buckets:
             idx = np.nonzero((bucket_of == b) & (lengths > 0))[0]
             if idx.size == 0:
@@ -387,11 +412,13 @@ def embed_notes(notes_text, model, params, tokenizer, max_length: int = 1024,
                     # shapes (log2 per bucket), little padding waste
                     tgt = 1 << (sel.size - 1).bit_length() if sel.size > 1 else 1
                     bi, bm = _pad_rows(bi, bm, -(-max(tgt, dp) // dp) * dp)
-                out = np.asarray(fwd(bi, bm))[: sel.size]
-                if emb is None:
-                    emb = np.zeros((n_flat, out.shape[-1]), out.dtype)
-                emb[sel] = out
+                pending.append((sel, fwd(bi, bm)))
                 processed += bi.shape[0] * b
+        for sel, out in pending:
+            out = np.asarray(out)[: sel.size]
+            if emb is None:
+                emb = np.zeros((n_flat, out.shape[-1]), out.dtype)
+            emb[sel] = out
         if emb is None:  # every note empty
             bi, bm = _pad_rows(ids[:1, :buckets[0]], tok_mask[:1, :buckets[0]], dp)
             d = int(fwd(bi, bm).shape[-1])

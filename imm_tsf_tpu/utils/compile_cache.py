@@ -25,9 +25,11 @@ def enable_persistent_compile_cache(path: str | None = None) -> str:
 
     try:
         jax.config.update("jax_compilation_cache_dir", path)
-        # default threshold skips small programs; 1s catches everything
-        # that meaningfully hurts on the remote tunnel
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist EVERYTHING: on the remote tunnel even a jit(reshape)
+        # compile costs a 0.4-0.6s round-trip (measured, r4 e2e decomp:
+        # 166 sub-1s misses ~ 80s/run), so the usual "skip small programs"
+        # threshold throws away most of the cache's value here
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # very old jax without the knobs: cache is best-effort
         pass
     return path

@@ -125,6 +125,26 @@ def test_embed_notes_bucketed_matches_bert():
     np.testing.assert_allclose(emb_b, emb_f, atol=1e-5)
 
 
+def test_embed_notes_bf16_close_and_fp32_pooled():
+    """compute_dtype=bf16 (opt-in MXU fast path): pooled outputs stay fp32
+    and match the fp32 path within bf16 matmul tolerance."""
+    from imm_tsf_tpu.llm.loader import HashTokenizer, embed_notes
+
+    model = small_gpt2()
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32))
+    tok = HashTokenizer(128)
+    notes = [["short note", " ".join(f"w{i}" for i in range(12))],
+             [" ".join(f"t{i}" for i in range(30)), "x"]]
+    emb32, m32 = embed_notes(notes, model, v["params"], tok, max_length=32,
+                             token_batch=4)
+    emb16, m16 = embed_notes(notes, model, v["params"], tok, max_length=32,
+                             token_batch=4, compute_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(m32, m16)
+    assert emb16.dtype == np.float32  # pooling promotes back to fp32
+    scale = np.abs(emb32).max()
+    np.testing.assert_allclose(emb16, emb32, atol=0.05 * scale)
+
+
 def _timellm_cfg():
     cfg = Config(model="TimeLLM", input_dim=2, input_len=16, pred_len=8,
                  batch_size=2, stride=4, history=16)

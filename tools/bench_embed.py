@@ -36,7 +36,8 @@ def synth_notes(n_notes: int, seed: int = 0) -> list[str]:
     return [" ".join(rng.choice(WORDS, k)) for k in lens]
 
 
-def bench_jax_embed(notes: list[str], token_batch: int = 64):
+def bench_jax_embed(notes: list[str], token_batch: int = 64,
+                    compute_dtype=None):
     import jax
 
     try:
@@ -52,14 +53,15 @@ def bench_jax_embed(notes: list[str], token_batch: int = 64):
     # warmup: compile every bucket shape once
     stats: dict = {}
     embed_notes([notes], model, params, tokenizer, max_length=MAX_LENGTH,
-                token_batch=token_batch, stats_out=stats)
+                token_batch=token_batch, stats_out=stats,
+                compute_dtype=compute_dtype)
     t0 = time.perf_counter()
     stats = {}
     emb, _ = embed_notes([notes], model, params, tokenizer,
                          max_length=MAX_LENGTH, token_batch=token_batch,
-                         stats_out=stats)
+                         stats_out=stats, compute_dtype=compute_dtype)
     dt = time.perf_counter() - t0
-    assert np.isfinite(emb).all()
+    assert np.isfinite(np.asarray(emb, np.float32)).all()
     return stats["real_tokens"] / dt, stats
 
 
@@ -99,8 +101,14 @@ def bench_torch_reference(notes: list[str]):
 
 
 def main():
-    notes = synth_notes(512, seed=0)
+    import jax.numpy as jnp
+
+    # 4096 notes (~196k real tokens): big enough that per-dispatch latency
+    # on the remote chip amortizes — the 512-note size used through round 3
+    # was ~25k tokens (~0.4s), mostly dispatch+fetch latency.
+    notes = synth_notes(4096, seed=0)
     ours, stats = bench_jax_embed(notes)
+    bf16, _ = bench_jax_embed(notes, compute_dtype=jnp.bfloat16)
     # baseline on a subset (CPU forwards are ~1s each), same length mix
     ref = bench_torch_reference(notes[:16])
     vs = ours / ref if ref else None
@@ -109,6 +117,7 @@ def main():
         "value": round(ours, 1),
         "unit": "tokens/s",
         "vs_baseline": round(vs, 2) if ref else None,
+        "value_bf16": round(bf16, 1),
     }))
     print(f"# {stats['n_notes']} notes, {stats['real_tokens']} real tokens, "
           f"{stats['processed_tokens']} processed (bucketed); "
