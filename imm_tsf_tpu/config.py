@@ -245,6 +245,13 @@ class Config:
     # bit-identical trained metrics to "bfloat16") | "bfloat16" (pin
     # explicitly) | "highest" (true multi-pass fp32 matmuls)
     compute_dtype: str = "float32"
+    # storage dtype for FROZEN param subtrees (the no-update LLM backbone,
+    # optim.py FROZEN_SUBTREE): "bfloat16" halves their HBM reads per step
+    # at zero optimizer risk (they take no updates and their wgrads are
+    # already stop_gradient-dropped); activations stay fp32 via dtype
+    # promotion (fp32 x bf16 matmul -> fp32). Reference trains the frozen
+    # backbone in fp32 (models/TimeLLM.py:128-159), hence the default.
+    frozen_param_dtype: str = "float32"
     host_prefetch: int = 2  # double-buffered host->device pipeline depth
     use_pallas: bool = True  # use fused Pallas kernels where profitable
     # device-resident epoch loop: keep all collated windows in HBM and run

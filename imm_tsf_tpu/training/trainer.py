@@ -98,6 +98,8 @@ def init_state(cfg: Config, model, fusion, sample_batch: dict, rng):
         fp, fs = _split_variables(fv)
         params["fusion"] = fp
         stats["fusion"] = fs
+    if getattr(cfg, "frozen_param_dtype", "float32") == "bfloat16":
+        params = _cast_frozen_params(params, jnp.bfloat16)
     return params, stats
 
 
@@ -105,6 +107,25 @@ def init_state(cfg: Config, model, fusion, sample_batch: dict, rng):
 def init_params(cfg: Config, model, fusion, sample_batch: dict, rng):
     params, _ = init_state(cfg, model, fusion, sample_batch, rng)
     return params
+
+
+def _cast_frozen_params(params, dtype):
+    """Cast every float leaf under a FROZEN_SUBTREE-named node to `dtype`
+    (cfg.frozen_param_dtype="bfloat16"). These leaves take no optimizer
+    updates (optim.py set_to_zero) and their wgrads are dropped
+    (_stop_frozen_grads), so bf16 STORAGE halves their HBM read traffic
+    per step with no optimizer-state precision risk; activations remain
+    fp32 because fp32 x bf16 promotes to fp32 in XLA matmuls."""
+    from .optim import FROZEN_SUBTREE
+
+    def visit(path, leaf):
+        names = {getattr(p, "key", getattr(p, "name", None)) for p in path}
+        if FROZEN_SUBTREE in names and jnp.issubdtype(
+                jnp.asarray(leaf).dtype, jnp.floating):
+            return jnp.asarray(leaf, dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(visit, params)
 
 
 def _stop_frozen_grads(params):

@@ -184,6 +184,47 @@ def test_timellm_frozen_llm_not_updated():
     ).max() > 0
 
 
+def test_timellm_frozen_bf16_params():
+    """cfg.frozen_param_dtype="bfloat16": the frozen LLM subtree is STORED
+    bf16 (half HBM reads/step), stays bit-frozen under optimizer steps,
+    train params stay fp32, and the loss trajectory tracks the fp32 run
+    (activations stay fp32 via promotion, so only the weight rounding
+    differs)."""
+    from imm_tsf_tpu.training.trainer import build_steps, init_state
+
+    b = build_batch(B=2, L=16, Lp=8, C=2, N=2, d_txt=8, seed=9)
+
+    def run(frozen_dtype):
+        cfg = _timellm_cfg().replace(frozen_param_dtype=frozen_dtype)
+        model = get_model(cfg)
+        params, stats = init_state(cfg, model, None, b, jax.random.PRNGKey(0))
+        tx = make_optimizer(1e-3, 0.01)
+        opt_state = tx.init(params)
+        train_step, _ = build_steps(cfg, model, None, tx)
+        losses = []
+        rng = jax.random.PRNGKey(3)
+        for _ in range(3):
+            params, stats, opt_state, loss = train_step(
+                params, stats, opt_state,
+                {k: jnp.asarray(v) for k, v in b.items()}, rng)
+            losses.append(float(loss))
+        return params, losses
+
+    p16, l16 = run("bfloat16")
+    p32, l32 = run("float32")
+
+    frozen16 = jax.tree_util.tree_leaves(p16["model"]["frozen_llm"])
+    assert all(x.dtype == jnp.bfloat16 for x in frozen16)
+    assert p16["model"]["output_projection"]["kernel"].dtype == jnp.float32
+    # frozen subtree identical to a fresh bf16 init (no drift under Adam+wd)
+    cfg = _timellm_cfg().replace(frozen_param_dtype="bfloat16")
+    fresh, _ = init_state(cfg, get_model(cfg), None, b, jax.random.PRNGKey(0))
+    for x, y in zip(frozen16,
+                    jax.tree_util.tree_leaves(fresh["model"]["frozen_llm"])):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_allclose(l16, l32, rtol=0.05)
+
+
 def test_timellm_prompt_ids_constant_after_training():
     """The domain prompt ids are a frozen constant (reference
     models/TimeLLM.py:163-195). Regression for VERDICT r1 weak #2: as a
