@@ -36,11 +36,21 @@ SECTION = "## Stacked-replica scaling (scan-bound backbones)"
 
 
 def combos():
+    # third element: extra cfg overrides; fourth (optional): "patch" to use
+    # the tPatchGNN patch-collate batch instead of the standard one
     return [
         ("CRU", dict(**MODEL_PRESETS["CRU"]), {}),
         ("LatentODE", dict(**MODEL_PRESETS["LatentODE"]), {}),
         ("NeuralFlow", dict(**MODEL_PRESETS["NeuralFlow"]), {}),
         ("TimeMixer", dict(**MODEL_PRESETS["TimeMixer"]), {}),
+        # round-4 additions: the remaining low-MFU sweep workhorses
+        # (zoo MFU 2.26% / 5.24% / 1.38% — BENCH_models.json)
+        ("Informer", dict(**MODEL_PRESETS["Informer"], d_model=128,
+                          d_ff=512), {}),
+        ("TTM", dict(d_model=256, AP_levels=2, e_layers=2, d_layers=1,
+                     d_d_model=64, patch_size=12, stride=12), {}),
+        ("tPatchGNN", dict(**MODEL_PRESETS["tPatchGNN"]),
+         dict(npatch=5), "patch"),
         # compute-saturated control: expected ~1.0x
         ("PatchTST+fusion",
          dict(d_model=512, d_ff=2048, n_heads=2, e_layers=1),
@@ -59,6 +69,9 @@ def main():
 
     B, L, Lp, C = 64, 48, 24, 8
     std_batch = build_batch(B=B, L=L, Lp=Lp, C=C)
+    from bench_all import patch_batch
+
+    tpg_batch = patch_batch(B, 5, 12, C, Lp)
 
     # merge with prior runs so partial reruns (--models/--replicas subsets)
     # extend the table instead of overwriting it
@@ -68,11 +81,15 @@ def main():
             results = json.load(f).get("results", {})
     except (FileNotFoundError, json.JSONDecodeError):
         pass
-    for name, preset, extra in combos():
+    for name, preset, extra, *rest in combos():
         if args.models and name not in args.models:
             continue
+        batch = tpg_batch if rest and rest[0] == "patch" else std_batch
         model_name = name.split("+")[0]
-        cfg = Config(model=model_name, input_dim=C, input_len=L,
+        cfg = Config(model=model_name, input_dim=C,
+                     input_len=batch["observed_data"].shape[2]
+                     if batch["observed_data"].ndim == 4
+                     else batch["observed_data"].shape[1],
                      pred_len=Lp, batch_size=B, d_txt=768,
                      llm_model_fusion="GPT2", TTF_module="TTF_RecAvg",
                      MMF_module="MMF_GR_Add")
@@ -80,7 +97,7 @@ def main():
         row = results.get(name, {"single_stream": None, "curve": {}})
         if row.get("single_stream") is None:
             try:
-                w1, flops = bench_jax(cfg, std_batch, steps=args.steps,
+                w1, flops = bench_jax(cfg, batch, steps=args.steps,
                                       return_flops=True)
                 u = mfu(w1, flops, B)
                 row["single_stream"] = round(w1, 1)
@@ -91,7 +108,7 @@ def main():
         for R in args.replicas:
             t0 = time.time()
             try:
-                w = bench_jax_stacked(cfg, std_batch, steps=args.steps,
+                w = bench_jax_stacked(cfg, batch, steps=args.steps,
                                       replicas=R)
                 row["curve"][str(R)] = {
                     "windows_per_sec_per_chip": round(w, 1),
