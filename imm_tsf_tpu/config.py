@@ -227,6 +227,13 @@ class Config:
     # dropout masks — threefry mask generation measured at 42% of a
     # PatchTST train step; 'threefry2x32' restores jax's default
     rng_impl: str = "rbg"
+    # dropout mask implementation (layers/fast_dropout.py): 'hash' fuses
+    # mask generation into the elementwise chains via an inline integer
+    # hash (no rng tensor through HBM, no stored mask residual; measured
+    # 1.20x on the flagship train step, vmap-stable); 'flax' restores
+    # flax nn.Dropout bit-for-bit. Both are Bernoulli(1-dropout) inverted
+    # dropout — the streams differ like a seed change.
+    dropout_impl: str = "hash"
     # shuffle-stream seed override (None = cfg.seed). Lets N seed-variant
     # experiments share one data order so they can train STACKED in one
     # vmapped program (training/vmap_sweep.py) — the sweep-throughput axis

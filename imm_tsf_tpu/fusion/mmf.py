@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..layers.attention import MultiHeadAttention
 from ..models.base import torch_linear_bias_init
 from .ttf import _torch_dense
+from ..layers.fast_dropout import Dropout
 
 
 class MMF_GR_Add(nn.Module):
@@ -69,7 +70,7 @@ class MMF_GR_Add(nn.Module):
         h = self._gru(x)  # [B,T,hidden]
         delta_y = _torch_dense(C, self.hidden_dim, "residual_head")(h)
         delta = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(delta_y)
-        delta = nn.Dropout(self.dropout)(delta, deterministic=not train)
+        delta = Dropout(self.dropout)(delta, deterministic=not train)
 
         g = nn.sigmoid(_torch_dense(C, C + self.d_txt, "gate_net")(x))
         mask = jnp.broadcast_to(M_txt[:, :, None], (B, T, C))
@@ -103,7 +104,7 @@ class MMF_XAttn_Add(nn.Module):
 
         delta_y = _torch_dense(C, self.d_attn, "residual_head")(attn_out)
         delta = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(delta_y)
-        delta = nn.Dropout(self.dropout)(delta, deterministic=not train)
+        delta = Dropout(self.dropout)(delta, deterministic=not train)
         mask = jnp.broadcast_to(M_txt[:, :, None], (B, T, C))
         delta = jnp.where(mask, delta, 0.0)
         return (Y_ts + self.kappa * delta) / (1.0 + self.kappa)

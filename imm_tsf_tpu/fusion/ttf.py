@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from ..layers.attention import MultiHeadAttention, masked_softmax
 from ..models.base import torch_linear_bias_init
+from ..layers.fast_dropout import Dropout
 
 
 def _torch_dense(features, fan_in, name, use_bias=True):
@@ -83,7 +84,7 @@ class TTF_RecAvg(nn.Module):
             E_raw = E_wsum / denom[:, :, None]
 
         E = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(E_raw)
-        E = nn.Dropout(self.dropout)(E, deterministic=not train)
+        E = Dropout(self.dropout)(E, deterministic=not train)
         E_txt = _torch_dense(self.d_txt, self.d_txt, "proj")(E)
         M_txt = note_mask.any(axis=1, keepdims=True)  # [B,1]
         return E_txt, M_txt
@@ -145,6 +146,6 @@ class TTF_T2V_XAttn(nn.Module):
 
         Q2 = jnp.broadcast_to(Q_param, (B, T_f, self.d_txt))
         E = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(E_attn + Q2)
-        E = nn.Dropout(self.dropout)(E, deterministic=not train)
+        E = Dropout(self.dropout)(E, deterministic=not train)
         E_txt = _torch_dense(self.d_txt, self.d_txt, "proj_out")(E)
         return E_txt, M_txt

@@ -16,6 +16,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from .fast_dropout import Dropout
 
 
 def _xavier_joint_inproj(E: int):
@@ -85,7 +86,7 @@ class MultiHeadAttention(nn.Module):
             mask = am if mask is None else (mask & am)
 
         attn = masked_softmax(scores, mask)
-        attn = nn.Dropout(self.dropout)(attn, deterministic=not train)
+        attn = Dropout(self.dropout)(attn, deterministic=not train)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v_h)
         out = out.transpose(0, 2, 1, 3).reshape(B, Tq, E)
         # torch MHA keeps out_proj.weight at Linear default (kaiming

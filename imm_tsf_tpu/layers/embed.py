@@ -14,6 +14,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 from ..models.base import torch_linear_kernel_init as _tk
 import numpy as np
+from .fast_dropout import Dropout
 
 
 def sinusoidal_pe(L: int, d_model: int) -> jnp.ndarray:
@@ -68,7 +69,7 @@ class DataEmbedding(nn.Module):
             out = out + TimeFeatureEmbedding(
                 self.d_model, self.freq, name="temporal_embedding"
             )(x_mark)
-        return nn.Dropout(self.dropout)(out, deterministic=not train)
+        return Dropout(self.dropout)(out, deterministic=not train)
 
 
 def unfold_patches(x: jnp.ndarray, patch_len: int, stride: int) -> jnp.ndarray:
@@ -100,4 +101,4 @@ class PatchEmbedding(nn.Module):
         x = x.reshape(B * C, P, self.patch_len)
         x = nn.Dense(self.d_model, use_bias=False, kernel_init=_tk, name="value_embedding")(x)
         x = x + sinusoidal_pe(P, self.d_model)
-        return nn.Dropout(self.dropout)(x, deterministic=not train), C
+        return Dropout(self.dropout)(x, deterministic=not train), C

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .attention import masked_softmax
+from .fast_dropout import Dropout
 
 
 class ProbAttention(nn.Module):
@@ -79,7 +80,7 @@ class ProbAttention(nn.Module):
                 V.mean(axis=2, keepdims=True), (B, H, L_Q, D)
             )
 
-        attn = nn.Dropout(self.attention_dropout)(attn, deterministic=not train)
+        attn = Dropout(self.attention_dropout)(attn, deterministic=not train)
         update = jnp.einsum("bhuk,bhkd->bhud", attn, V)
 
         # scatter the u updated rows into the context (reference :136-138)

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 
 from .attention import masked_softmax
 from ..models.base import torch_linear_kernel_init as _tk
+from .fast_dropout import Dropout
 
 
 class FullAttention(nn.Module):
@@ -39,7 +40,7 @@ class FullAttention(nn.Module):
         if attn_mask is not None:
             mask = attn_mask if mask is None else (mask & attn_mask)
         A = masked_softmax(scale * scores, mask)
-        A = nn.Dropout(self.attention_dropout)(A, deterministic=not train)
+        A = Dropout(self.attention_dropout)(A, deterministic=not train)
         return jnp.einsum("bhls,bshd->blhd", A, values)
 
 
@@ -79,7 +80,7 @@ class EncoderLayer(nn.Module):
     def __call__(self, x, attn_mask=None, train: bool = False):
         d_ff = self.d_ff or 4 * self.d_model
         act = nn.relu if self.activation == "relu" else nn.gelu
-        drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
+        drop = lambda z: Dropout(self.dropout)(z, deterministic=not train)
         new_x = self.attention(x, x, x, attn_mask=attn_mask, train=train)
         x = x + drop(new_x)
         y = x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
@@ -153,7 +154,7 @@ class DecoderLayer(nn.Module):
     def __call__(self, x, cross, x_mask=None, cross_mask=None, train: bool = False):
         d_ff = self.d_ff or 4 * self.d_model
         act = nn.relu if self.activation == "relu" else nn.gelu
-        drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
+        drop = lambda z: Dropout(self.dropout)(z, deterministic=not train)
         x = x + drop(self.self_attention(x, x, x, attn_mask=x_mask, train=train))
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + drop(self.cross_attention(x, cross, cross, attn_mask=cross_mask, train=train))

@@ -10,6 +10,7 @@ from __future__ import annotations
 import flax.linen as nn
 
 from ..models.base import torch_linear_kernel_init as _tk
+from .fast_dropout import Dropout
 
 
 class TTMGatedLayer(nn.Module):
@@ -30,9 +31,9 @@ class TTMMLP(nn.Module):
     def __call__(self, x, train: bool = False):
         hidden = x.shape[-1] * self.factor
         x = nn.gelu(nn.Dense(hidden, kernel_init=_tk, name="fc1")(x))
-        x = nn.Dropout(self.dropout)(x, deterministic=not train)
+        x = Dropout(self.dropout)(x, deterministic=not train)
         x = nn.Dense(self.out_features, kernel_init=_tk, name="fc2")(x)
-        return nn.Dropout(self.dropout)(x, deterministic=not train)
+        return Dropout(self.dropout)(x, deterministic=not train)
 
 
 class TTMMixerBlock(nn.Module):

@@ -18,6 +18,7 @@ from ..layers.embed import PatchEmbedding
 from ..layers.transformer import AttentionLayer, Encoder, EncoderLayer, FullAttention
 from .base import pad_time
 from .base import torch_linear_kernel_init as _tk
+from ..layers.fast_dropout import Dropout
 
 
 class PatchTST(nn.Module):
@@ -76,7 +77,7 @@ class PatchTST(nn.Module):
         tp_rep = jnp.repeat(tp_to_predict[:, None, :], n_vars, axis=1)
         head_in = jnp.concatenate([head_in, tp_rep], axis=-1)
         dec_out = nn.Dense(pred_len, kernel_init=_tk, name="head_linear")(head_in)
-        dec_out = nn.Dropout(cfg.dropout)(dec_out, deterministic=not train)
+        dec_out = Dropout(cfg.dropout)(dec_out, deterministic=not train)
         dec_out = dec_out.transpose(0, 2, 1)  # [B, pred_len, K]
 
         dec_out = dec_out * stdev[:, 0, :][:, None, :] + means[:, 0, :][:, None, :]

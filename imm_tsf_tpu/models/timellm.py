@@ -39,6 +39,7 @@ from ..llm.gpt2 import GPT2Model, GPT2_SIZES
 from ..llm.llama import LLAMA_SIZES, LlamaModel
 from ..llm.bert import BertConfig, BertModel
 from .base import masked_norm, pad_time, torch_linear_kernel_init as _tk
+from ..layers.fast_dropout import Dropout
 
 N_STAT_TOKENS = 4
 N_PROMPT_TOKENS = 32  # static length of the domain-description prompt
@@ -157,7 +158,7 @@ class TimeLLM(nn.Module):
         # FlattenHead (:19-29)
         flat = dec.reshape(B * n_vars, cfg.d_ff * Pn)
         out = nn.Dense(pred_len, kernel_init=_tk, name="output_projection")(flat)
-        out = nn.Dropout(cfg.dropout)(out, deterministic=not train)
+        out = Dropout(cfg.dropout)(out, deterministic=not train)
         out = out.reshape(B, n_vars, pred_len).transpose(0, 2, 1)
 
         if cfg.use_norm:
@@ -189,7 +190,7 @@ class ReprogrammingLayer(nn.Module):
         scores = jnp.einsum("blhe,she->bhls", q, k,
                             preferred_element_type=jnp.float32) / jnp.sqrt(Ek)
         A = nn.softmax(scores, axis=-1)
-        A = nn.Dropout(self.dropout)(A, deterministic=not train)
+        A = Dropout(self.dropout)(A, deterministic=not train)
         out = jnp.einsum("bhls,she->blhe", A, v).reshape(Bm, Lq, -1)
         return nn.Dense(self.d_llm, kernel_init=_tk, name="out_projection")(out)
 

@@ -29,6 +29,7 @@ from ..config import Config
 from ..layers.embed import sinusoidal_pe
 from ..layers.attention import MultiHeadAttention
 from .base import torch_linear_kernel_init as _tk
+from ..layers.fast_dropout import Dropout
 
 
 class TorchTransformerEncoderLayer(nn.Module):
@@ -42,7 +43,7 @@ class TorchTransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        drop = lambda z: nn.Dropout(self.dropout)(z, deterministic=not train)
+        drop = lambda z: Dropout(self.dropout)(z, deterministic=not train)
         attn = MultiHeadAttention(self.d_model, self.n_heads, self.dropout,
                                   name="self_attn")(x, x, x, train=train)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + drop(attn))

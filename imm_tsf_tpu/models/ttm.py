@@ -19,6 +19,7 @@ from ..layers.embed import unfold_patches
 from ..layers.ttm_mlp import TTMLayer
 from .base import pad_time
 from .base import torch_linear_kernel_init as _tk
+from ..layers.fast_dropout import Dropout
 
 
 class TTMAPBlock(nn.Module):
@@ -138,7 +139,7 @@ class TTM(nn.Module):
         # prediction head (reference :88-103)
         B, M, N, D = h.shape
         flat = h.reshape(B, M, N * D)
-        flat = nn.Dropout(cfg.dropout)(flat, deterministic=not train)
+        flat = Dropout(cfg.dropout)(flat, deterministic=not train)
         y = nn.Dense(pred_len, kernel_init=_tk, name="base_forecast_block")(flat)  # [B, M, pred_len]
         y_hat = y.transpose(0, 2, 1)  # [B, pred_len, n_vars]
 

@@ -155,13 +155,19 @@ def make_forward(cfg: Config, model, fusion):
     runs (params and reductions are f32 in every mode)."""
 
     def forward(params, stats, batch, train: bool, rng):
-        if cfg.compute_dtype == "bfloat16":
-            with jax.default_matmul_precision("bfloat16"):
-                return _forward(params, stats, batch, train, rng)
-        if cfg.compute_dtype == "highest":
-            with jax.default_matmul_precision("highest"):
-                return _forward(params, stats, batch, train, rng)
-        return _forward(params, stats, batch, train, rng)
+        from ..layers.fast_dropout import use_dropout_impl
+
+        # bind cfg.dropout_impl for the duration of the trace (the module
+        # global alone could race when two Configs build forwards before
+        # either traces)
+        with use_dropout_impl(getattr(cfg, "dropout_impl", "hash")):
+            if cfg.compute_dtype == "bfloat16":
+                with jax.default_matmul_precision("bfloat16"):
+                    return _forward(params, stats, batch, train, rng)
+            if cfg.compute_dtype == "highest":
+                with jax.default_matmul_precision("highest"):
+                    return _forward(params, stats, batch, train, rng)
+            return _forward(params, stats, batch, train, rng)
 
     def _forward(params, stats, batch, train: bool, rng):
         # Frozen-LLM subtrees take no optimizer updates (optim.py

@@ -75,8 +75,10 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
         cfg = cfg.replace(data_seed=cfg.seed)
     # the TPU hardware RNG ('rbg') is NOT vmap-stable: vmapped draws differ
     # from the same key's sequential draws, so stacked replicas would not
-    # reproduce their serial runs for dropout-bearing models. threefry is
-    # counter-based and vmap-invariant — pin it for the replica chains
+    # reproduce their serial runs. Dropout masks no longer depend on rbg
+    # bits (layers/fast_dropout.py hashes folded key DATA — vmap-stable by
+    # construction), but LatentODE/NeuralFlow still draw latent normals via
+    # make_rng, so the replica chains stay pinned to counter-based threefry
     # (serial comparators must use rng_impl='threefry2x32' too).
     cfg = cfg.replace(rng_impl="threefry2x32")
     if data_obj is None:

@@ -62,7 +62,7 @@ if os.environ.get("IMM_TSF_DECOMP_CPU"):
     # meaningless); IMM_TSF_DECOMP_CPU=1 python tools/bench_flagship_decomp.py
     B, STEPS = 8, 2
 VARIANTS = ("full", "notext", "dlin_full", "dlin_notext", "nodrop",
-            "nogru", "nottf", "noattn", "noffn")
+            "nogru", "nottf", "noattn", "noffn", "hashdrop")
 
 
 def flagship_cfg(model="PatchTST", enable_text=True, dropout=0.1):
@@ -147,6 +147,48 @@ def _patch_noffn():
     return [(tr.EncoderLayer, "__call__", saved)]
 
 
+def _patch_hashdrop():
+    """Replace nn.Dropout's mask path with an inline integer-hash Bernoulli.
+
+    Bits come from a murmur3-style finalizer over (flat iota ^ key-derived
+    salts) — pure elementwise uint32 ops XLA can fuse into the surrounding
+    chains, instead of a separately materialized rng-bit-generator tensor.
+    Distributionally Bernoulli(keep) with p quantized to 2^-32; a different
+    stream than flax's (like changing seed). Prototype for layers/."""
+    import numpy as np
+    import jax
+
+    M1, M2, GOLD = (np.uint32(0x85EBCA6B), np.uint32(0xC2B2AE35),
+                    np.uint32(0x9E3779B1))
+
+    def _fmix(h):
+        h = jnp.bitwise_xor(h, h >> 16) * M1
+        h = jnp.bitwise_xor(h, h >> 13) * M2
+        return jnp.bitwise_xor(h, h >> 16)
+
+    def hash_call(self, inputs, deterministic=None, rng=None):
+        det = nn.merge_param("deterministic", self.deterministic, deterministic) \
+            if (self.deterministic is not None or deterministic is not None) else None
+        if (self.rate == 0.0) or det:
+            return inputs
+        if self.rate == 1.0:
+            return jnp.zeros_like(inputs)
+        keep = 1.0 - self.rate
+        if rng is None:
+            rng = self.make_rng(self.rng_collection)
+        words = jax.random.key_data(rng).astype(jnp.uint32).reshape(-1)
+        s0, s1 = words[0], words[-1]
+        i = jnp.arange(int(np.prod(inputs.shape)), dtype=jnp.uint32).reshape(
+            inputs.shape)
+        h = _fmix(_fmix(i * GOLD ^ s0) ^ s1)
+        thresh = np.uint32(min(0xFFFFFFFF, round(keep * 2.0**32)))
+        return jnp.where(h < thresh, inputs / keep, 0.0)
+
+    saved = nn.Dropout.__call__
+    nn.Dropout.__call__ = hash_call
+    return [(nn.Dropout, "__call__", saved)]
+
+
 def run_variant(variant: str) -> tuple[float, float | None]:
     batch = build_batch(B=B, L=L, Lp=Lp, C=C)
     patches = []
@@ -172,6 +214,9 @@ def run_variant(variant: str) -> tuple[float, float | None]:
     elif variant == "noffn":
         cfg = flagship_cfg()
         patches = _patch_noffn()
+    elif variant == "hashdrop":
+        cfg = flagship_cfg()
+        patches = _patch_hashdrop()
     else:
         raise SystemExit(f"unknown variant {variant!r}")
 
