@@ -15,7 +15,7 @@ in ONE session plus component ablations of both the model and the
 fusion stack.
 
 Variants (timing-only surrogates — NOT semantically equivalent):
-  full        stock flagship (baseline; == bench.py headline config)
+  full        stock flagship, flax dropout (the decomposition baseline)
   notext      PatchTST alone (fusion off)
   dlin_full   DLinear + the same fusion stack
   dlin_notext DLinear alone
@@ -31,9 +31,10 @@ Variants (timing-only surrogates — NOT semantically equivalent):
               kept; isolates scores/softmax/attn-dropout)
   noffn       EncoderLayer conv-FFN -> identity (isolates the two big
               d_model x d_ff matmuls, ~2/3 of the model's FLOPs)
+  hashdrop    dropout_impl='hash' (layers/fast_dropout.py — the package
+              default since round 4; every other variant pins the flax
+              impl this decomposition was written against)
 
-Also prints the XLA cost-model flops AND bytes-accessed of the one-step
-program for full/notext, with naive MXU/HBM roofline times for context.
 
 Run: python tools/bench_flagship_decomp.py [variant ...]   (default: all)
 """
@@ -65,7 +66,12 @@ VARIANTS = ("full", "notext", "dlin_full", "dlin_notext", "nodrop",
             "nogru", "nottf", "noattn", "noffn", "hashdrop")
 
 
-def flagship_cfg(model="PatchTST", enable_text=True, dropout=0.1):
+def flagship_cfg(model="PatchTST", enable_text=True, dropout=0.1,
+                 dropout_impl="flax"):
+    """All ablation variants pin dropout_impl='flax' so the decomposition
+    keeps measuring the flax-dropout baseline it was written against (the
+    package default moved to 'hash' in round 4 off this tool's findings);
+    the `hashdrop` variant measures the current default."""
     kw = {}
     if model == "PatchTST":
         kw = dict(d_model=512, d_ff=2048, n_heads=2, e_layers=1)
@@ -73,7 +79,8 @@ def flagship_cfg(model="PatchTST", enable_text=True, dropout=0.1):
         model=model, enable_text=enable_text, use_text_embeddings=True,
         llm_model_fusion="GPT2", TTF_module="TTF_RecAvg",
         MMF_module="MMF_GR_Add", d_txt=768, input_dim=C, input_len=L,
-        pred_len=Lp, batch_size=B, dropout=dropout, **kw,
+        pred_len=Lp, batch_size=B, dropout=dropout,
+        dropout_impl=dropout_impl, **kw,
     )
 
 
@@ -147,48 +154,6 @@ def _patch_noffn():
     return [(tr.EncoderLayer, "__call__", saved)]
 
 
-def _patch_hashdrop():
-    """Replace nn.Dropout's mask path with an inline integer-hash Bernoulli.
-
-    Bits come from a murmur3-style finalizer over (flat iota ^ key-derived
-    salts) — pure elementwise uint32 ops XLA can fuse into the surrounding
-    chains, instead of a separately materialized rng-bit-generator tensor.
-    Distributionally Bernoulli(keep) with p quantized to 2^-32; a different
-    stream than flax's (like changing seed). Prototype for layers/."""
-    import numpy as np
-    import jax
-
-    M1, M2, GOLD = (np.uint32(0x85EBCA6B), np.uint32(0xC2B2AE35),
-                    np.uint32(0x9E3779B1))
-
-    def _fmix(h):
-        h = jnp.bitwise_xor(h, h >> 16) * M1
-        h = jnp.bitwise_xor(h, h >> 13) * M2
-        return jnp.bitwise_xor(h, h >> 16)
-
-    def hash_call(self, inputs, deterministic=None, rng=None):
-        det = nn.merge_param("deterministic", self.deterministic, deterministic) \
-            if (self.deterministic is not None or deterministic is not None) else None
-        if (self.rate == 0.0) or det:
-            return inputs
-        if self.rate == 1.0:
-            return jnp.zeros_like(inputs)
-        keep = 1.0 - self.rate
-        if rng is None:
-            rng = self.make_rng(self.rng_collection)
-        words = jax.random.key_data(rng).astype(jnp.uint32).reshape(-1)
-        s0, s1 = words[0], words[-1]
-        i = jnp.arange(int(np.prod(inputs.shape)), dtype=jnp.uint32).reshape(
-            inputs.shape)
-        h = _fmix(_fmix(i * GOLD ^ s0) ^ s1)
-        thresh = np.uint32(min(0xFFFFFFFF, round(keep * 2.0**32)))
-        return jnp.where(h < thresh, inputs / keep, 0.0)
-
-    saved = nn.Dropout.__call__
-    nn.Dropout.__call__ = hash_call
-    return [(nn.Dropout, "__call__", saved)]
-
-
 def run_variant(variant: str) -> tuple[float, float | None]:
     batch = build_batch(B=B, L=L, Lp=Lp, C=C)
     patches = []
@@ -215,8 +180,7 @@ def run_variant(variant: str) -> tuple[float, float | None]:
         cfg = flagship_cfg()
         patches = _patch_noffn()
     elif variant == "hashdrop":
-        cfg = flagship_cfg()
-        patches = _patch_hashdrop()
+        cfg = flagship_cfg(dropout_impl="hash")
     else:
         raise SystemExit(f"unknown variant {variant!r}")
 
