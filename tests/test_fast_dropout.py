@@ -186,3 +186,16 @@ def test_make_forward_binds_cfg_impl(synth_root):
     assert np.all(np.isfinite(losses["hash"])) and np.all(np.isfinite(losses["flax"]))
     assert np.any(losses["hash"] != losses["flax"])  # different streams
     np.testing.assert_array_equal(losses["hash_eval"], losses["flax_eval"])
+
+
+def test_hash_stream_golden():
+    # Pin the hash stream itself: any change to the mix constants or salt
+    # derivation silently changes every trained run's dropout draws (a
+    # de-facto seed change for users resuming/reproducing experiments), so
+    # it must be a conscious, test-visible decision.
+    s0, s1 = _key_salts(jax.random.PRNGKey(42))
+    assert (int(s0), int(s1)) == (0, 42)  # raw-key data passthrough
+    m = np.asarray(_keep_mask(s0, s1, 0.9, (4, 8)))
+    np.testing.assert_array_equal(np.packbits(m), [255, 191, 191, 126])
+    m2 = np.asarray(_keep_mask(jnp.uint32(123), jnp.uint32(456), 0.5, (16,)))
+    np.testing.assert_array_equal(np.packbits(m2), [245, 134])
