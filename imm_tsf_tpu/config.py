@@ -250,7 +250,10 @@ class Config:
     # matmul precision: "float32" (TPU default — fp32 operands already run
     # as single-pass bf16 on the MXU, the free AMP analog; verified
     # bit-identical trained metrics to "bfloat16") | "bfloat16" (pin
-    # explicitly) | "highest" (true multi-pass fp32 matmuls)
+    # explicitly) | "highest" (true multi-pass fp32 matmuls) |
+    # "amp_bf16" (true mixed precision: fp32 master params + optimizer,
+    # BACKBONE forward fully in bf16 — params/inputs cast at use, halving
+    # activation HBM traffic; fusion stack and loss stay fp32)
     compute_dtype: str = "float32"
     # storage dtype for FROZEN param subtrees (the no-update LLM backbone,
     # optim.py FROZEN_SUBTREE): "bfloat16" halves their HBM reads per step

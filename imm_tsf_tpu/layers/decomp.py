@@ -35,11 +35,13 @@ def series_decomp(x: jnp.ndarray, kernel_size: int):
 def dft_decomp(x: jnp.ndarray, top_k: int = 5):
     """DFT-based decomposition (reference models/TimeMixer.py:9-27 DFT_series_decomp):
     keep top-k magnitude frequencies (excluding DC) as the seasonal part."""
-    xf = jnp.fft.rfft(x, axis=1)
+    # FFT kernels require fp32; under compute_dtype="amp_bf16" upcast for
+    # the transform and return in the caller's dtype
+    xf = jnp.fft.rfft(x.astype(jnp.float32), axis=1)
     freq = jnp.abs(xf)
     freq = freq.at[:, 0].set(0.0)
     # zero all but top-k per (batch, channel)
     kth = jnp.sort(freq, axis=1)[:, -top_k][:, None]
     xf_filtered = jnp.where(freq >= kth, xf, 0.0)
-    x_season = jnp.fft.irfft(xf_filtered, n=x.shape[1], axis=1)
+    x_season = jnp.fft.irfft(xf_filtered, n=x.shape[1], axis=1).astype(x.dtype)
     return x_season, x - x_season

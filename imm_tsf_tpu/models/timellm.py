@@ -90,12 +90,17 @@ class TimeLLM(nn.Module):
             maxs = x.max(axis=1)
             meds = jnp.median(x, axis=1)
             trend = jnp.diff(x, axis=1).sum(axis=1).mean(axis=1, keepdims=True)
-            F = jnp.fft.rfft(x.transpose(0, 2, 1), axis=-1)
+            # FFT requires fp32 (upcast under compute_dtype="amp_bf16");
+            # stats return in x.dtype so the prompt pseudo-token path does
+            # not silently promote the whole LLM forward back to fp32
+            F = jnp.fft.rfft(x.transpose(0, 2, 1).astype(jnp.float32), axis=-1)
             corr = jnp.fft.irfft(F * jnp.conj(F), n=seq_len, axis=-1).mean(axis=1)
             _, lags = jax.lax.top_k(corr, min(top_k, seq_len))
             stats = jnp.concatenate(
-                [mins, maxs, meds, trend, lags.astype(jnp.float32)], axis=-1
-            )  # [B, 3N+1+top_k]
+                [mins.astype(jnp.float32), maxs.astype(jnp.float32),
+                 meds.astype(jnp.float32), trend.astype(jnp.float32),
+                 lags.astype(jnp.float32)], axis=-1
+            ).astype(x.dtype)  # [B, 3N+1+top_k]
 
             # ---- prompt: static domain tokens + learned stat pseudo-tokens
             # The prompt ids are a CONSTANT (reference tokenizes a frozen

@@ -96,10 +96,13 @@ def _apply_inception(params, x, crop=False):
         oh, ow = (kmax - kh) // 2, (kmax - kw) // 2
         w_comb = w_comb[oh:oh + kh, ow:ow + kw]
     out = jax.lax.conv_general_dilated(
-        x, w_comb / n, window_strides=(1, 1), padding="SAME",
+        # conv requires matching operand dtypes (x can be bf16 under
+        # compute_dtype="amp_bf16" while a caller-built buffer stays fp32)
+        x, (w_comb / n).astype(x.dtype), window_strides=(1, 1),
+        padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
-    return out + b_comb / n
+    return out + (b_comb / n).astype(x.dtype)
 
 
 # per-conv-dispatch penalty (in padded-cell units) for the canvas-bucket
@@ -153,7 +156,9 @@ class TimesBlock(nn.Module):
         B, T, N = x.shape
         k = cfg.top_k
 
-        xf = jnp.fft.rfft(x, axis=1)
+        # FFT requires fp32 (upcast under compute_dtype="amp_bf16"; the
+        # period stats are selection-only, no gradient path)
+        xf = jnp.fft.rfft(x.astype(jnp.float32), axis=1)
         amp = jnp.abs(xf)  # [B, F, N]
         frequency_list = amp.mean(axis=0).mean(axis=-1)  # [F]
         frequency_list = frequency_list.at[0].set(0.0)
@@ -202,7 +207,8 @@ class TimesBlock(nn.Module):
             h1 = nn.gelu(_apply_inception(conv1_p, canvas, crop=True))
             if needs_mask:
                 h1 = (h1.reshape(len(members), B, hb, wb, -1)
-                      * jnp.asarray(mask_np)).reshape(-1, hb, wb, h1.shape[-1])
+                      * jnp.asarray(mask_np, h1.dtype)
+                      ).reshape(-1, hb, wb, h1.shape[-1])
             o = _apply_inception(conv2_p, h1, crop=True)
             for m, (ci, (h, w)) in enumerate(members):
                 outs[ci] = o[m * B:(m + 1) * B, :h, :w, :].reshape(

@@ -128,6 +128,16 @@ def _cast_frozen_params(params, dtype):
     return jax.tree_util.tree_map_with_path(visit, params)
 
 
+def _cast_floats(tree, dtype):
+    """Cast every floating-point array leaf of a pytree to `dtype`."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if (hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating))
+        else x,
+        tree,
+    )
+
+
 def _stop_frozen_grads(params):
     """stop_gradient every leaf under a FROZEN_SUBTREE-named node (the
     optimizer's freeze label, optim.py:_label_tree) so XLA never emits
@@ -183,18 +193,39 @@ def make_forward(cfg: Config, model, fusion):
         if stats is None:
             stats = {"model": {}, "fusion": {}}
         rngs = {"dropout": rng} if train else None
+        # amp_bf16: true mixed precision for the BACKBONE forward — fp32
+        # master params (optimizer/clipping untouched), params + float
+        # inputs cast to bf16 at use, so every activation tensor in the
+        # encoder (the [B*C, P, d_ff] chains the flagship decomposition
+        # showed are HBM-bound) moves at half the bytes. autodiff through
+        # the astype gives fp32 grads back. The FUSION stack stays fp32:
+        # its cost is ~0 (nottf ablation) and its time-coordinate math
+        # ((t - tau)/sigma) genuinely needs fp32 resolution. pred_y is
+        # returned to fp32 before the loss. The reference's AMP analog is
+        # torch.autocast in main.py:1080-1091 — same params-fp32 /
+        # compute-bf16 split.
+        amp = cfg.compute_dtype == "amp_bf16"
         mvars = _merge_variables(params["model"], stats.get("model", {}))
+        model_in = _model_inputs(batch)
+        model_kw = _model_kwargs(batch)
+        if amp:
+            mvars = _cast_floats(mvars, jnp.bfloat16)
+            model_in = _cast_floats(model_in, jnp.bfloat16)
+            model_kw = _cast_floats(model_kw, jnp.bfloat16)
         new_stats = dict(stats)
         if train and stats.get("model"):
             pred_y, mut = model.apply(
-                mvars, *_model_inputs(batch), train=True, rngs=rngs,
+                mvars, *model_in, train=True, rngs=rngs,
                 mutable=list(stats["model"].keys()),
-                **_model_kwargs(batch),
+                **model_kw,
             )
+            if amp:  # running stats (BatchNorm) stay fp32 across steps
+                mut = _cast_floats(mut, jnp.float32)
             new_stats = {**new_stats, "model": mut}
         else:
-            pred_y = model.apply(mvars, *_model_inputs(batch), train=train,
-                                 rngs=rngs, **_model_kwargs(batch))
+            pred_y = model.apply(mvars, *model_in, train=train,
+                                 rngs=rngs, **model_kw)
+        pred_y = pred_y.astype(jnp.float32)
         if pred_y.ndim == 4:  # [S, B, T, D] -> mean over traj samples
             pred_y = pred_y.mean(axis=0)
         if fusion is not None:

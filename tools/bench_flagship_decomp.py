@@ -63,7 +63,8 @@ if os.environ.get("IMM_TSF_DECOMP_CPU"):
     # meaningless); IMM_TSF_DECOMP_CPU=1 python tools/bench_flagship_decomp.py
     B, STEPS = 8, 2
 VARIANTS = ("full", "notext", "dlin_full", "dlin_notext", "nodrop",
-            "nogru", "nottf", "noattn", "noffn", "hashdrop")
+            "nogru", "nottf", "noattn", "noffn", "hashdrop", "amp",
+            "amp_nodrop")
 
 
 def flagship_cfg(model="PatchTST", enable_text=True, dropout=0.1,
@@ -181,6 +182,14 @@ def run_variant(variant: str) -> tuple[float, float | None]:
         patches = _patch_noffn()
     elif variant == "hashdrop":
         cfg = flagship_cfg(dropout_impl="hash")
+    elif variant == "amp":
+        # hash dropout + amp_bf16 (the two shipped perf modes stacked):
+        # backbone forward fully in bf16, fp32 master params/optimizer
+        cfg = flagship_cfg(dropout_impl="hash")
+        cfg.compute_dtype = "amp_bf16"
+    elif variant == "amp_nodrop":
+        cfg = flagship_cfg(dropout=0.0)
+        cfg.compute_dtype = "amp_bf16"
     else:
         raise SystemExit(f"unknown variant {variant!r}")
 

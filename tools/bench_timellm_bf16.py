@@ -42,14 +42,29 @@ def main():
         llm_layers_timellm=6, input_token_len=16)
 
     out = {}
-    for tag, dt in [("fp32", "float32"), ("bf16", "bfloat16")]:
-        cfg = base.replace(frozen_param_dtype=dt)
+    for tag, frozen_dt, compute_dt in [
+        ("fp32", "float32", "float32"),
+        ("bf16", "bfloat16", "float32"),
+        # amp_bf16: bf16 activations through the whole backbone forward
+        # (fp32 master params); stacked with bf16 frozen storage the whole
+        # frozen GPT-2 stack (weights AND activations) moves at half bytes
+        ("amp", "float32", "amp_bf16"),
+        ("amp_bf16frozen", "bfloat16", "amp_bf16"),
+    ]:
+        cfg = base.replace(frozen_param_dtype=frozen_dt,
+                           compute_dtype=compute_dt)
         out[tag] = round(bench_jax(cfg, batch, steps=args.steps), 1)
     print(json.dumps({
         "metric": "timellm_windows_per_sec",
         "fp32": out["fp32"],
         "bf16_frozen": out["bf16"],
-        "speedup": round(out["bf16"] / out["fp32"], 3) if out["fp32"] else None,
+        "amp": out["amp"],
+        "amp_bf16frozen": out["amp_bf16frozen"],
+        "speedup_bf16_frozen":
+            round(out["bf16"] / out["fp32"], 3) if out["fp32"] else None,
+        "speedup_amp_stacked":
+            round(out["amp_bf16frozen"] / out["fp32"], 3)
+            if out["fp32"] else None,
     }))
 
 
