@@ -331,6 +331,77 @@ def bench_torch_reference(batch, steps=10, model_name="PatchTST"):
             sys.path.remove("/root/reference")
 
 
+def _load_bench_history() -> list[tuple[str, dict]]:
+    """Committed round artifacts BENCH_r*.json, oldest->newest. Each holds
+    the driver's record {n, cmd, rc, tail, parsed} with `parsed` being the
+    bench JSON line of that round."""
+    import glob
+
+    hist = []
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                rec = json.load(f)
+            parsed = rec.get("parsed") or {}
+            if parsed.get("metric") == "forecast_windows_per_sec_per_chip":
+                hist.append((os.path.basename(path), parsed))
+        except Exception:
+            continue
+    return hist
+
+
+# Documented remote-tunnel session drift is ~10% (BENCHMARKS.md session-
+# variance note); beyond +-15% the delta is treated as a real perf change
+# and flagged loudly rather than attributed to drift.
+DRIFT_TOLERANCE_PCT = 15.0
+
+_DELTA_KEYS = (
+    ("value", "single_stream"),
+    ("stacked_windows_per_sec_per_chip", "stacked"),
+    ("cru_stacked_windows_per_sec_per_chip", "cru_stacked"),
+)
+
+
+def compare_with_history(out: dict) -> dict | None:
+    """Mechanical regression detection (VERDICT r4 weak #6/#7): compare the
+    fresh numbers against the most recent committed BENCH_r*.json and
+    report per-metric deltas. Returns the delta record merged into the
+    output JSON; prints a loud warning for any metric beyond the drift
+    tolerance. CPU runs are not comparable to TPU history and are skipped."""
+    import jax
+
+    if jax.devices()[0].platform == "cpu":
+        print("# bench history comparison skipped (CPU run vs TPU history)",
+              file=sys.stderr)
+        return None
+    hist = _load_bench_history()
+    if not hist:
+        return None
+    ref_name, ref = hist[-1]
+    deltas = {}
+    worst = 0.0
+    for key, label in _DELTA_KEYS:
+        new_v, old_v = out.get(key), ref.get(key)
+        if not new_v or not old_v:
+            continue
+        pct = (new_v / old_v - 1.0) * 100.0
+        deltas[label] = {"prev": old_v, "now": new_v, "delta_pct": round(pct, 2)}
+        worst = min(worst, pct)
+        marker = " !! beyond drift tolerance" if abs(pct) > DRIFT_TOLERANCE_PCT else ""
+        print(f"# vs {ref_name}: {label} {old_v:.0f} -> {new_v:.0f} "
+              f"({pct:+.1f}%){marker}", file=sys.stderr)
+    regression = worst < -DRIFT_TOLERANCE_PCT
+    if regression:
+        print(f"# !!! PERF REGRESSION: {worst:+.1f}% vs {ref_name} exceeds "
+              f"the +-{DRIFT_TOLERANCE_PCT:.0f}% session-drift band — "
+              "investigate before shipping (tools/bench_flagship_decomp.py "
+              "attributes the step; re-run bench.py to rule out a bad "
+              "tunnel session)", file=sys.stderr)
+    return {"baseline_artifact": ref_name, "deltas": deltas,
+            "tolerance_pct": DRIFT_TOLERANCE_PCT, "regression": regression}
+
+
 def _guard_dead_accelerator(timeout_s: float = 240.0) -> None:
     """Fail over to CPU when the remote-TPU tunnel is dead.
 
@@ -452,6 +523,12 @@ def main():
         "cru_stacked_windows_per_sec_per_chip":
             round(cru_stacked, 2) if cru_stacked else None,
     }
+    cmp = compare_with_history(out)
+    if cmp is not None:
+        out["vs_history"] = cmp
+    from imm_tsf_tpu.utils.provenance import provenance
+
+    out["provenance"] = provenance(cfg)
     print(json.dumps(out))
     if u is not None:
         import jax

@@ -21,6 +21,11 @@ from dataclasses import dataclass, field
 from typing import Any
 
 
+_COMPUTE_DTYPES = ("float32", "bfloat16", "highest", "amp_bf16")
+_FROZEN_PARAM_DTYPES = ("float32", "bfloat16")
+_DROPOUT_IMPLS = ("hash", "flax")  # layers/fast_dropout.py:_IMPLS
+
+
 @dataclass
 class Config:
     # --- general (main.py:47-66) ---
@@ -282,6 +287,26 @@ class Config:
     input_dim: int = 0  # C / enc_in / c_out
     input_len: int = 0  # max T_obs over splits
     pred_len: int = 0  # max T_pred over splits
+
+    def __post_init__(self):
+        # A typo'd mode string must fail loudly, not silently fall through
+        # to the fp32 default path (make_forward string-compares these).
+        # replace() re-runs this, so every derived Config is validated too.
+        if self.compute_dtype not in _COMPUTE_DTYPES:
+            raise ValueError(
+                f"compute_dtype must be one of {_COMPUTE_DTYPES}, "
+                f"got {self.compute_dtype!r}"
+            )
+        if self.frozen_param_dtype not in _FROZEN_PARAM_DTYPES:
+            raise ValueError(
+                f"frozen_param_dtype must be one of {_FROZEN_PARAM_DTYPES}, "
+                f"got {self.frozen_param_dtype!r}"
+            )
+        if self.dropout_impl not in _DROPOUT_IMPLS:
+            raise ValueError(
+                f"dropout_impl must be one of {_DROPOUT_IMPLS}, "
+                f"got {self.dropout_impl!r}"
+            )
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

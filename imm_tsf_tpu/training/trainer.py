@@ -151,10 +151,27 @@ def _stop_frozen_grads(params):
     return jax.tree_util.tree_map_with_path(visit, params)
 
 
+# Models whose forecasting() differentiates/integrates over timestamps —
+# dt resolution matters, so amp_bf16 (which casts float inputs to bf16) is
+# rejected for them in make_forward (reference analog: these are the models
+# whose collates keep raw/union time axes, lib/parse_datasets.py:369-471).
+TIME_DYNAMICS_MODELS = ("CRU", "LatentODE", "NeuralFlow", "tPatchGNN")
+
+
 def make_forward(cfg: Config, model, fusion):
     """compute_all_losses's forward path (reference lib/evaluation.py:72-100).
 
     forward(params, stats, batch, train, rng) -> (pred_y, new_stats).
+
+    amp_bf16 is refused for the continuous-time family (CRU, LatentODE,
+    NeuralFlow, tPatchGNN): those models derive interval dt / rk4 steps /
+    learnable-frequency time encodings from observed_tp & tp_to_predict,
+    and bf16's 8-bit mantissa quantizes nearby-timestamp differences badly
+    enough to silently corrupt the dynamics (CRU's Van Loan expm is the
+    worst case). The MTS/LMTS families use timestamps only as normalized
+    input FEATURE channels (e.g. reference models/DLinear.py:32-51 time
+    channel, models/TTM.py:271-287 standardized tp), where bf16 input
+    rounding is ordinary autocast semantics.
 
     Mixed precision: on TPU, JAX's DEFAULT matmul precision already runs
     fp32 operands as single-pass bf16 on the MXU — measured bit-identical
@@ -163,6 +180,15 @@ def make_forward(cfg: Config, model, fusion):
     compute_dtype options: "bfloat16" pins that behavior explicitly;
     "highest" forces true multi-pass fp32 matmuls for precision-critical
     runs (params and reductions are f32 in every mode)."""
+
+    if cfg.compute_dtype == "amp_bf16" and cfg.model in TIME_DYNAMICS_MODELS:
+        raise ValueError(
+            f"compute_dtype='amp_bf16' is not supported for model "
+            f"{cfg.model!r}: continuous-time models compute timestamp "
+            f"differences (dt) that need fp32 resolution. Use the default "
+            f"compute_dtype ('float32' already runs matmuls as single-pass "
+            f"bf16 on the TPU MXU)."
+        )
 
     def forward(params, stats, batch, train: bool, rng):
         from ..layers.fast_dropout import use_dropout_impl
@@ -205,13 +231,19 @@ def make_forward(cfg: Config, model, fusion):
         # torch.autocast in main.py:1080-1091 — same params-fp32 /
         # compute-bf16 split.
         amp = cfg.compute_dtype == "amp_bf16"
-        mvars = _merge_variables(params["model"], stats.get("model", {}))
+        mparams = params["model"]
+        mstats = stats.get("model", {})
         model_in = _model_inputs(batch)
         model_kw = _model_kwargs(batch)
         if amp:
-            mvars = _cast_floats(mvars, jnp.bfloat16)
+            # Cast ONLY the params collection; running stats (BatchNorm)
+            # stay fp32 so the momentum update new = m*old + (1-m)*mean
+            # accumulates at fp32 resolution (torch autocast keeps BN fp32
+            # for the same reason; bf16 x fp32 promotes fine in XLA).
+            mparams = _cast_floats(mparams, jnp.bfloat16)
             model_in = _cast_floats(model_in, jnp.bfloat16)
             model_kw = _cast_floats(model_kw, jnp.bfloat16)
+        mvars = _merge_variables(mparams, mstats)
         new_stats = dict(stats)
         if train and stats.get("model"):
             pred_y, mut = model.apply(
@@ -219,7 +251,11 @@ def make_forward(cfg: Config, model, fusion):
                 mutable=list(stats["model"].keys()),
                 **model_kw,
             )
-            if amp:  # running stats (BatchNorm) stay fp32 across steps
+            if amp:
+                # Safety net: with stats kept fp32 above, the momentum
+                # update already lands fp32 (promotion); this catches any
+                # mutable collection a layer writes purely from bf16
+                # activations.
                 mut = _cast_floats(mut, jnp.float32)
             new_stats = {**new_stats, "model": mut}
         else:

@@ -95,6 +95,9 @@ def main(argv=None):
     logger = get_logger(log_path_for(cfg), mode=cfg.logmode)
     logger.info("ExpID %s | %s", experiment_id, " ".join(sys.argv))
     logger.info(cfg.to_json())
+    from imm_tsf_tpu.utils.provenance import provenance
+
+    logger.info("Provenance: %s", json.dumps(provenance(cfg)))
 
     if cfg.vmap_seeds > 1 or cfg.vmap_lrs:
         # (seeds x lrs) replica grid trained in ONE vmapped program

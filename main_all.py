@@ -129,6 +129,12 @@ def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
     }
     if seed_metrics is not None:
         result_data["seed_metrics"] = seed_metrics
+    # Resolved-config provenance (reference records full metadata too,
+    # main_all.py:162-177) — ties each artifact to the defaults that
+    # produced it so dropout_impl/compute_dtype changes stay auditable.
+    from imm_tsf_tpu.utils.provenance import provenance
+
+    result_data["provenance"] = provenance(cfg)
     results_dir.mkdir(parents=True, exist_ok=True)
     with open(result_path, "w") as f:
         json.dump(result_data, f, indent=4)

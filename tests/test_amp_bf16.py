@@ -68,6 +68,9 @@ def test_amp_params_stay_fp32_and_loss_tracks_fp32():
     # forward (loose: activations round at ~2^-8 relative)
     assert np.isfinite(lossamp)
     assert abs(lossamp - loss32) / max(abs(loss32), 1e-6) < 0.05
+    # ...but NOT bit-identical: bit-equality would mean the bf16 cast never
+    # engaged (a silent-no-op regression this test must catch)
+    assert lossamp != loss32
     for v in sums.values():
         assert np.all(np.isfinite(v))
 
@@ -81,3 +84,51 @@ def test_amp_composes_with_model_zoo(model):
     assert np.isfinite(loss)
     for v in sums.values():
         assert np.all(np.isfinite(v))
+
+
+@pytest.mark.parametrize("model", ["CRU", "LatentODE", "NeuralFlow",
+                                   "tPatchGNN"])
+def test_amp_refused_for_continuous_time_models(model):
+    """amp_bf16 would quantize timestamp differences (dt) to bf16 for the
+    continuous-time family; make_forward must refuse loudly rather than
+    silently degrade the dynamics (trainer.py:TIME_DYNAMICS_MODELS)."""
+    from imm_tsf_tpu.training.trainer import make_forward
+
+    cfg = _mk(model).replace(compute_dtype="amp_bf16")
+    with pytest.raises(ValueError, match="amp_bf16"):
+        make_forward(cfg, get_model(cfg), None)
+
+
+def test_compute_dtype_typo_raises():
+    """A typo'd mode ('amp-bf16') must not silently fall through to the
+    fp32 path (Config.__post_init__ validation)."""
+    with pytest.raises(ValueError, match="compute_dtype"):
+        _mk("DLinear", compute_dtype="amp-bf16")
+    with pytest.raises(ValueError, match="compute_dtype"):
+        _mk("DLinear").replace(compute_dtype="AMP_BF16")
+    with pytest.raises(ValueError, match="dropout_impl"):
+        _mk("DLinear").replace(dropout_impl="fash")
+    with pytest.raises(ValueError, match="frozen_param_dtype"):
+        _mk("DLinear").replace(frozen_param_dtype="fp16")
+
+
+def test_amp_batchnorm_stats_stay_fp32():
+    """Informer's distil ConvLayer carries BatchNorm running stats; under
+    amp they must be stored AND updated in fp32 (only the params
+    collection is cast to bf16 in make_forward)."""
+    batch = build_batch(B=B, L=L, Lp=Lp, C=C, N=4, d_txt=32)
+    cfg = _mk("Informer").replace(compute_dtype="amp_bf16")
+    model = get_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    params, stats = init_state(cfg, model, None, batch, rng)
+    tx = make_optimizer(cfg.lr, cfg.w_decay)
+    opt_state = tx.init(params)
+    train_step, _ = build_steps(cfg, model, None, tx)
+    dev = {k: jnp.asarray(v) for k, v in batch.items()}
+    params, stats, opt_state, loss = train_step(params, stats, opt_state,
+                                                dev, rng)
+    leaves = jax.tree_util.tree_leaves(stats["model"])
+    assert leaves, "Informer should carry BatchNorm batch_stats"
+    for leaf in leaves:
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            assert leaf.dtype == jnp.float32

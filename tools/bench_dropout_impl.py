@@ -67,8 +67,18 @@ def main():
         seed=1, enable_text=True, use_text_embeddings=True,
         llm_model_fusion="GPT2", llm_layers_fusion=6, d_txt=768,
         TTF_module="TTF_RecAvg", MMF_module="MMF_GR_Add",
-        d_model=512, d_ff=2048, n_heads=2, e_layers=1,
     )
+    if args.model == "PatchTST":
+        # the flagship bench dims (round-4 gate config, unchanged)
+        base = base.replace(d_model=512, d_ff=2048, n_heads=2, e_layers=1)
+    else:
+        # zoo dims for the structurally-distinct dropout consumers
+        # (VERDICT r5 action #2: TimeLLM / tPatchGNN / TTM)
+        from imm_tsf_tpu.config import MODEL_PRESETS
+
+        base = base.replace(**MODEL_PRESETS.get(args.model, {}))
+        if args.model == "TTM":
+            base = base.replace(patch_size=base.history // 4)
 
     out = {"flax": [], "hash": []}
     for impl in ("flax", "hash"):
