@@ -269,6 +269,12 @@ class Config:
     frozen_param_dtype: str = "float32"
     host_prefetch: int = 2  # double-buffered host->device pipeline depth
     use_pallas: bool = True  # use fused Pallas kernels where profitable
+    # sub-flag of use_pallas: route the TSLib encoder FFN through the
+    # single-pass Pallas matmul-epilogue kernel (ops/pallas/ffn_kernel.py)
+    # on TPU with hash dropout (PatchTST/Informer encoders). Default off
+    # until the measured accept bar (tools/bench_ffn_fused.py, >=1.10x
+    # flagship step) is met on hardware.
+    use_fused_ffn: bool = False
     # device-resident epoch loop: keep all collated windows in HBM and run
     # each epoch as one lax.scan dispatch (50x fewer host round-trips);
     # falls back to per-batch streaming for batch-dependent collates (ODE

@@ -66,15 +66,51 @@ class AttentionLayer(nn.Module):
         return nn.Dense(self.d_model, kernel_init=_tk, name="out_projection")(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense's exact param tree ({kernel, bias}, same names,
+    shapes, inits, rng fold) without running its matmul — the fused-FFN
+    path consumes the raw weights so checkpoints/param trees stay
+    identical between fused and unfused paths."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        k = self.param("kernel", _tk, (in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return k, b
+
+
+class _LayerNormParams(nn.Module):
+    """nn.LayerNorm's param tree ({scale, bias}) without the normalization."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        g = self.param("scale", nn.initializers.ones_init(), (self.features,))
+        b = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return g, b
+
+
 class EncoderLayer(nn.Module):
     """post-norm attention + pointwise conv FFN
-    (reference Transformer_EncDec.py:27-52)."""
+    (reference Transformer_EncDec.py:27-52).
+
+    use_fused_ffn routes the FFN (conv1 -> act -> dropout -> conv2 ->
+    dropout -> residual -> norm2) through the single-pass Pallas kernel
+    (ops/pallas/ffn_kernel.py) on TPU with hash dropout: both matmuls +
+    every epilogue in one MXU pass, the [*, d_ff] hidden tensor never
+    leaves VMEM. Dropout stream differs from the unfused module path
+    (different make_rng fold) — a seed change, same policy as the hash
+    impl itself (PARITY.md). Param tree is identical to the unfused path."""
 
     attention: nn.Module
     d_model: int
     d_ff: int | None = None
     dropout: float = 0.1
     activation: str = "gelu"
+    use_fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask=None, train: bool = False):
@@ -84,9 +120,49 @@ class EncoderLayer(nn.Module):
         new_x = self.attention(x, x, x, attn_mask=attn_mask, train=train)
         x = x + drop(new_x)
         y = x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        if self._use_fused():
+            return self._fused_ffn(x, d_ff, train)
         y = drop(act(nn.Dense(d_ff, kernel_init=_tk, name="conv1")(y)))
         y = drop(nn.Dense(self.d_model, kernel_init=_tk, name="conv2")(y))
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + y)
+
+    def _use_fused(self) -> bool:
+        import jax
+
+        from ..ops.pallas.ffn_kernel import ffn_fusable
+        from .fast_dropout import current_dropout_impl
+
+        d_ff = self.d_ff or 4 * self.d_model
+        return (
+            self.use_fused_ffn
+            and ffn_fusable(self.d_model, d_ff)
+            and current_dropout_impl() == "hash"  # flax mode stays bit-exact
+            and jax.default_backend() == "tpu"  # interpret would crawl on CPU
+        )
+
+    def _fused_ffn(self, x, d_ff: int, train: bool):
+        import jax.numpy as jnp
+
+        from ..ops.pallas.ffn_kernel import fused_encoder_ffn
+        from .fast_dropout import _key_salts
+
+        D = x.shape[-1]
+        w1, b1 = _DenseParams(d_ff, name="conv1")(D)
+        w2, b2 = _DenseParams(self.d_model, name="conv2")(d_ff)
+        gamma, beta = _LayerNormParams(self.d_model, name="norm2")()
+        apply_dropout = bool(train and self.dropout > 0.0)
+        if apply_dropout:
+            sa = _key_salts(self.make_rng("dropout"))
+            sb = _key_salts(self.make_rng("dropout"))
+            salts = jnp.stack(
+                [jnp.stack(sa), jnp.stack(sb)]).astype(jnp.uint32)
+        else:
+            salts = jnp.zeros((2, 2), jnp.uint32)
+        lead = x.shape[:-1]
+        out = fused_encoder_ffn(
+            x.reshape(-1, D), w1, b1, w2, b2, gamma, beta, salts,
+            1.0 - self.dropout, self.activation, apply_dropout)
+        return out.reshape(*lead, D)
 
 
 class ConvLayer(nn.Module):

@@ -46,7 +46,7 @@ from imm_tsf_tpu.utils.table import Table
 
 def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
                     data_root, epoch, results_dir: Path, seeds: int = 1,
-                    lrs=None):
+                    lrs=None, dropout_impl: str | None = None):
     data_name, model_name, enable_text, TTF_module, MMF_module = combo
     # replica grids change what a result file MEANS — key them into the
     # resume filename so a --seeds/--lrs rerun doesn't cache-hit stale
@@ -79,6 +79,11 @@ def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
         "llm_layers_fusion": None,
         "data_root": data_root,
     }
+    if dropout_impl is not None:
+        # --dropout_impl flax reproduces pre-round-4 sweep artifacts
+        # bit-for-bit (PARITY.md dropout-impl note); the default (None)
+        # rides the shipped Config default
+        fixed_params["dropout_impl"] = dropout_impl
     tunable_params = {"lr": 1e-3}
     cfg = apply_presets(Config(overwrite_args=True), fixed_params, tunable_params)
     if cfg.enable_text:
@@ -340,6 +345,12 @@ def main(argv=None):
                          "waiting out an accelerator outage")
     ap.add_argument("--recover_timeout", type=float, default=3600.0,
                     help="give up if the backend stays down this long (s)")
+    ap.add_argument("--dropout_impl", default=None,
+                    choices=["hash", "flax"],
+                    help="override the dropout mask generator for every "
+                         "combo (default: the shipped Config default, "
+                         "hash); 'flax' reproduces pre-round-4 sweep "
+                         "artifacts bit-for-bit (PARITY.md)")
     ap.add_argument("--platform", default="auto",
                     help="pin the jax backend platform for serial runs "
                          "(e.g. cpu when the accelerator is down); parallel "
@@ -406,7 +417,7 @@ def main(argv=None):
                 pool.submit(
                     run_combination, c, args.batch_size, args.llm_model_fusion,
                     bool(args.use_text_embeddings), args.data_root, args.epoch,
-                    results_dir, args.seeds, args.lrs,
+                    results_dir, args.seeds, args.lrs, args.dropout_impl,
                 ): c
                 for c in combinations
             }
@@ -451,6 +462,7 @@ def main(argv=None):
                     c, args.batch_size, args.llm_model_fusion,
                     bool(args.use_text_embeddings), args.data_root, args.epoch,
                     results_dir, seeds=args.seeds, lrs=args.lrs,
+                    dropout_impl=args.dropout_impl,
                 )
             except Exception as exc:
                 if _recovery_enabled(args) and \
