@@ -275,6 +275,11 @@ class Config:
     # until the measured accept bar (tools/bench_ffn_fused.py, >=1.10x
     # flagship step) is met on hardware.
     use_fused_ffn: bool = False
+    # sub-flag of use_pallas: single-pass Pallas causal attention for the
+    # frozen GPT-2 core in TimeLLM (ops/pallas/attn_kernel.py) — the
+    # [T, T] probability tensor stays in VMEM. Default off until the
+    # >=1.10x accept bar is measured (tools/bench_timellm_attn.py).
+    use_fused_attn: bool = False
     # device-resident epoch loop: keep all collated windows in HBM and run
     # each epoch as one lax.scan dispatch (50x fewer host round-trips);
     # falls back to per-batch streaming for batch-dependent collates (ODE

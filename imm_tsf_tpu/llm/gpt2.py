@@ -37,6 +37,7 @@ GPT2_SIZES = {
 
 class GPT2Block(nn.Module):
     cfg: GPT2Config
+    use_fused_attn: bool = False
 
     @nn.compact
     def __call__(self, x, attn_mask=None):
@@ -50,14 +51,23 @@ class GPT2Block(nn.Module):
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda z: z.reshape(B, T, H, Dh).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) / jnp.sqrt(Dh)
-        causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
-        mask = causal
-        if attn_mask is not None:  # [B, T] True=real token
-            mask = causal & attn_mask[:, None, None, :]
-        attn = masked_softmax(scores, mask)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        if self._fused(T, Dh):
+            # single-pass Pallas attention: the [T, T] probability tensor
+            # never reaches HBM (ops/pallas/attn_kernel.py)
+            from ..ops.pallas.attn_kernel import fused_causal_attention
+
+            pad = (attn_mask.astype(jnp.float32) if attn_mask is not None
+                   else jnp.ones((B, T), jnp.float32))
+            out = fused_causal_attention(q, k, v, pad)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) / jnp.sqrt(Dh)
+            causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
+            mask = causal
+            if attn_mask is not None:  # [B, T] True=real token
+                mask = causal & attn_mask[:, None, None, :]
+            attn = masked_softmax(scores, mask)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, E)
         x = x + nn.Dense(E, name="c_attn_proj")(out)
 
@@ -67,17 +77,27 @@ class GPT2Block(nn.Module):
         x = x + nn.Dense(E, name="c_mlp_proj")(h)
         return x
 
+    def _fused(self, T: int, Dh: int) -> bool:
+        import jax
+
+        from ..ops.pallas.attn_kernel import attn_fusable
+
+        return (self.use_fused_attn and attn_fusable(T, Dh)
+                and jax.default_backend() == "tpu")
+
 
 class GPT2Model(nn.Module):
     cfg: GPT2Config
     n_layers: int | None = None  # encoder-layer truncation (load_llm.py:110-114)
+    use_fused_attn: bool = False  # Pallas attention (ops/pallas/attn_kernel.py)
 
     def setup(self):
         c = self.cfg
         self.wte = nn.Embed(c.vocab_size, c.n_embd, name="wte")
         self.wpe = nn.Embed(c.n_positions, c.n_embd, name="wpe")
         n = self.n_layers if self.n_layers is not None else c.n_layer
-        self.blocks = [GPT2Block(c, name=f"h_{i}") for i in range(n)]
+        self.blocks = [GPT2Block(c, use_fused_attn=self.use_fused_attn,
+                                 name=f"h_{i}") for i in range(n)]
         self.ln_f = nn.LayerNorm(epsilon=c.layer_norm_epsilon, name="ln_f")
 
     def get_input_embeddings(self, input_ids):

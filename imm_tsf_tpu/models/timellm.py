@@ -45,9 +45,11 @@ N_STAT_TOKENS = 4
 N_PROMPT_TOKENS = 32  # static length of the domain-description prompt
 
 
-def _llm_and_dim(name: str, layers: int):
+def _llm_and_dim(name: str, layers: int, use_fused_attn: bool = False):
     if name == "GPT2":
-        return GPT2Model(GPT2_SIZES["GPT2"], n_layers=layers, name="frozen_llm"), 768
+        return GPT2Model(GPT2_SIZES["GPT2"], n_layers=layers,
+                         use_fused_attn=use_fused_attn,
+                         name="frozen_llm"), 768
     if name == "BERT":
         return BertModel(BertConfig(), n_layers=layers, name="frozen_llm"), 768
     if name == "LLAMA":
@@ -67,7 +69,9 @@ class TimeLLM(nn.Module):
         stride = cfg.stride  # dataset stride (reference :75)
         top_k = cfg.top_k
 
-        llm, d_llm = _llm_and_dim(cfg.llm_model_timellm, cfg.llm_layers_timellm)
+        llm, d_llm = _llm_and_dim(
+            cfg.llm_model_timellm, cfg.llm_layers_timellm,
+            use_fused_attn=cfg.use_pallas and cfg.use_fused_attn)
 
         observed_data = pad_time(observed_data, seq_len)
         observed_mask = pad_time(observed_mask, seq_len)

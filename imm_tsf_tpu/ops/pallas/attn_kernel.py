@@ -1,0 +1,152 @@
+"""Fused causal attention Pallas kernel for the frozen-LLM cores.
+
+TimeLLM pushes prompt ⊕ patch tokens through a frozen GPT-2
+(reference models/TimeLLM.py:260-263); the XLA path materializes the
+[B, H, T, T] score and probability tensors in HBM between three kernels
+(QK^T matmul -> masked-softmax fusion -> PV matmul). Sequences here are
+short (prompt + patches, T ≤ a few hundred), so the full [T, T] score
+tile fits VMEM comfortably — no online-softmax (flash) recurrence
+needed: one program per (batch, head) computes scores, the exact
+masked softmax (same semantics as layers.attention.masked_softmax:
+fully-masked rows yield zeros, not NaN), and the PV matmul without the
+probability tensor ever reaching HBM.
+
+Backward is a custom VJP in plain XLA that RECOMPUTES the probabilities
+from (q, k, mask) — the standard attention backward with P rederived,
+so no [B, H, T, T] residual is stored either (the activation-grad path
+through the frozen weights stays exact; dq/dk/dv flow to the trainable
+adapters around the LLM).
+
+Used by GPT2Block when Config.use_pallas + use_fused_attn on TPU; the
+einsum/masked_softmax path remains the CPU/autodiff reference.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, pad_ref, out_ref, *, scale: float):
+    q = q_ref[0, 0].astype(jnp.float32)  # [T, D]
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    T = q.shape[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [T, T]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    keep = (rows >= cols) & (pad_ref[0, :] > 0)[None, :]
+    neg = jnp.finfo(jnp.float32).min
+    s = jnp.where(keep, s, neg)
+    m = s.max(axis=-1, keepdims=True)
+    e = jnp.exp(s - m) * keep.astype(jnp.float32)
+    den = e.sum(axis=-1, keepdims=True)
+    p = e / jnp.where(den == 0, 1.0, den)
+    out = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def _attn_pallas(q, k, v, pad):
+    B, H, T0, D = q.shape
+    # sublane-align T: padded keys are masked out via pad=0, padded query
+    # rows are sliced off below
+    T = -(-T0 // 8) * 8
+    if T != T0:
+        padw = ((0, 0), (0, 0), (0, T - T0), (0, 0))
+        q, k, v = (jnp.pad(a, padw) for a in (q, k, v))
+        pad = jnp.pad(pad, ((0, 0), (0, T - T0)))
+    interpret = jax.default_backend() != "tpu"
+    scale = 1.0 / float(np.sqrt(D))
+    sp = pl.ANY if interpret else pltpu.VMEM
+    kernel = partial(_attn_kernel, scale=scale)
+    qkv_spec = pl.BlockSpec((1, 1, T, D), lambda b, h: (b, h, 0, 0),
+                            memory_space=sp)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, H),
+        in_specs=[
+            qkv_spec, qkv_spec, qkv_spec,
+            pl.BlockSpec((1, T), lambda b, h: (b, 0), memory_space=sp),
+        ],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
+        interpret=interpret,
+    )(q, k, v, pad)
+    return out[:, :, :T0] if T != T0 else out
+
+
+def _softmax_probs(q, k, pad):
+    """Recompute the exact masked-softmax probabilities (XLA, batched)."""
+    D = q.shape[-1]
+    scale = 1.0 / float(np.sqrt(D))
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32),
+                   preferred_element_type=jnp.float32) * scale
+    T = q.shape[2]
+    causal = jnp.tril(jnp.ones((T, T), bool))[None, None]
+    keep = causal & (pad > 0)[:, None, None, :]
+    neg = jnp.finfo(jnp.float32).min
+    s = jnp.where(keep, s, neg)
+    m = s.max(axis=-1, keepdims=True)
+    e = jnp.exp(s - m) * keep.astype(jnp.float32)
+    den = e.sum(axis=-1, keepdims=True)
+    return e / jnp.where(den == 0, 1.0, den)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=())
+def fused_causal_attention(q, k, v, pad):
+    """softmax(mask(QK^T/sqrt(D))) @ V over [B, H, T, D].
+
+    pad: [B, T] float/int, >0 = real token. Causal mask applied always.
+    """
+    return _attn_pallas(q, k, v, pad)
+
+
+def _attn_fwd(q, k, v, pad):
+    return _attn_pallas(q, k, v, pad), (q, k, v, pad)
+
+
+def _attn_bwd(res, g):
+    q, k, v, pad = res
+    D = q.shape[-1]
+    scale = 1.0 / float(np.sqrt(D))
+    g = g.astype(jnp.float32)
+    p = _softmax_probs(q, k, pad)  # [B,H,T,T] recomputed, not stored
+    vf = v.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g,
+                    preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, vf,
+                    preferred_element_type=jnp.float32)
+    ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
+                    preferred_element_type=jnp.float32) * scale
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(pad))
+
+
+fused_causal_attention.defvjp(_attn_fwd, _attn_bwd)
+
+
+def attention_reference(q, k, v, pad):
+    """Pure-XLA oracle with identical semantics."""
+    p = _softmax_probs(q, k, pad)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)
+                      ).astype(q.dtype)
+
+
+def attn_fusable(T: int, D: int) -> bool:
+    """VMEM bound: the [T, T] fp32 score tile (plus q/k/v/out) must fit
+    one core's VMEM with pipelining headroom."""
+    score_bytes = T * T * 4
+    qkv_bytes = 4 * T * max(D, 128) * 4  # lanes pad D up to 128
+    return T <= 1024 and (2 * score_bytes + 2 * qkv_bytes) < 12 * 1024 * 1024
