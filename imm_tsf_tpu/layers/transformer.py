@@ -140,7 +140,7 @@ class EncoderLayer(nn.Module):
             and jax.default_backend() == "tpu"  # interpret would crawl on CPU
         )
 
-    def _fused_ffn(self, x, d_ff: int, train: bool):
+    def _fused_ffn(self, x, d_ff: int, train: bool, norm_name: str = "norm2"):
         import jax.numpy as jnp
 
         from ..ops.pallas.ffn_kernel import fused_encoder_ffn
@@ -149,7 +149,7 @@ class EncoderLayer(nn.Module):
         D = x.shape[-1]
         w1, b1 = _DenseParams(d_ff, name="conv1")(D)
         w2, b2 = _DenseParams(self.d_model, name="conv2")(d_ff)
-        gamma, beta = _LayerNormParams(self.d_model, name="norm2")()
+        gamma, beta = _LayerNormParams(self.d_model, name=norm_name)()
         apply_dropout = bool(train and self.dropout > 0.0)
         if apply_dropout:
             sa = _key_salts(self.make_rng("dropout"))
@@ -225,6 +225,7 @@ class DecoderLayer(nn.Module):
     d_ff: int | None = None
     dropout: float = 0.1
     activation: str = "gelu"
+    use_fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x, cross, x_mask=None, cross_mask=None, train: bool = False):
@@ -235,6 +236,9 @@ class DecoderLayer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + drop(self.cross_attention(x, cross, cross, attn_mask=cross_mask, train=train))
         y = x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        if EncoderLayer._use_fused(self):  # same gate/kernel, norm3 epilogue
+            return EncoderLayer._fused_ffn(self, x, d_ff, train,
+                                           norm_name="norm3")
         y = drop(act(nn.Dense(d_ff, kernel_init=_tk, name="conv1")(y)))
         y = drop(nn.Dense(self.d_model, kernel_init=_tk, name="conv2")(y))
         return nn.LayerNorm(epsilon=1e-5, name="norm3")(x + y)

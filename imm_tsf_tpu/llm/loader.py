@@ -118,10 +118,12 @@ def load_tokenizer(alias: str, model_dir: str | None = None):
 
 
 def load_llm(alias: str, llm_layers: int | None = None,
-             model_dir: str | None = None, rng=None):
+             model_dir: str | None = None, rng=None,
+             use_fused_attn: bool = False):
     """Returns (model, params, tokenizer). Params frozen by convention:
     exclude them from the optimizer (the reference sets requires_grad=False,
-    load_llm.py:117-118)."""
+    load_llm.py:117-118). use_fused_attn routes GPT-2 attention through
+    the Pallas kernel (ops/pallas/attn_kernel.py) where fusable."""
     d = _local_dir(alias, model_dir)
     tokenizer = load_tokenizer(alias, model_dir)
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -129,7 +131,8 @@ def load_llm(alias: str, llm_layers: int | None = None,
     if alias.startswith("GPT2"):
         from .gpt2 import GPT2Model, GPT2_SIZES, convert_hf_gpt2
 
-        model = GPT2Model(GPT2_SIZES[alias], n_layers=llm_layers)
+        model = GPT2Model(GPT2_SIZES[alias], n_layers=llm_layers,
+                          use_fused_attn=use_fused_attn)
         if d is not None:
             params = convert_hf_gpt2(_load_state_dict(d), llm_layers)
         else:

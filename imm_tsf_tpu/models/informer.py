@@ -91,7 +91,9 @@ class Informer(nn.Module):
                     cfg.d_model, cfg.n_heads,
                 ),
                 cfg.d_model, cfg.d_ff, dropout=cfg.dropout,
-                activation=cfg.activation, name=f"dec_layer_{i}",
+                activation=cfg.activation,
+                use_fused_ffn=cfg.use_pallas and cfg.use_fused_ffn,
+                name=f"dec_layer_{i}",
             )
             for i in range(cfg.d_layers)
         )

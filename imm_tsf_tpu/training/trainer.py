@@ -402,7 +402,8 @@ def make_loader_wrappers(cfg):
         from ..llm.loader import load_llm, resolve_llm_mesh
 
         llm, llm_params, tokenizer = load_llm(
-            cfg.llm_model_fusion, cfg.llm_layers_fusion
+            cfg.llm_model_fusion, cfg.llm_layers_fusion,
+            use_fused_attn=cfg.use_pallas and cfg.use_fused_attn,
         )
         llm_mesh = resolve_llm_mesh(cfg.llm_model_fusion, cfg.llm_tp)
         wrappers.append(lambda ld: _EmbedNotesLoader(

@@ -154,3 +154,32 @@ def test_encoder_layer_fused_train_grads_finite(monkeypatch):
     assert np.isfinite(float(val))
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def _mk_decoder(use_fused):
+    from imm_tsf_tpu.layers.transformer import (AttentionLayer, DecoderLayer,
+                                                FullAttention)
+
+    return DecoderLayer(
+        AttentionLayer(FullAttention(True, attention_dropout=0.1), 64, 2),
+        AttentionLayer(FullAttention(False, attention_dropout=0.1), 64, 2),
+        64, 128, dropout=0.1, activation="gelu", use_fused_ffn=use_fused)
+
+
+def test_decoder_layer_fused_param_tree_and_eval(monkeypatch):
+    from imm_tsf_tpu.layers.transformer import EncoderLayer
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 12, 64)), jnp.float32)
+    cross = jnp.asarray(rng.standard_normal((2, 16, 64)), jnp.float32)
+    layer_u = _mk_decoder(False)
+    v = layer_u.init(jax.random.PRNGKey(0), x, cross, train=False)
+    ref = layer_u.apply(v, x, cross, train=False)
+    monkeypatch.setattr(EncoderLayer, "_use_fused", lambda self: True)
+    layer_f = _mk_decoder(True)
+    v2 = layer_f.init(jax.random.PRNGKey(0), x, cross, train=False)
+    assert (jax.tree_util.tree_structure(v2)
+            == jax.tree_util.tree_structure(v))
+    out = layer_f.apply(v, x, cross, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
