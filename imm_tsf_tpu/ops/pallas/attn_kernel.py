@@ -43,7 +43,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, pad_ref, out_ref, *, scale: float):
     ) * scale  # [T, T]
     rows = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
-    keep = (rows >= cols) & (pad_ref[0, :] > 0)[None, :]
+    keep = (rows >= cols) & (pad_ref[0, 0, :] > 0)[None, :]
     neg = jnp.finfo(jnp.float32).min
     s = jnp.where(keep, s, neg)
     m = s.max(axis=-1, keepdims=True)
@@ -74,12 +74,16 @@ def _attn_pallas(q, k, v, pad):
         grid=(B, H),
         in_specs=[
             qkv_spec, qkv_spec, qkv_spec,
-            pl.BlockSpec((1, T), lambda b, h: (b, 0), memory_space=sp),
+            # pad rides as [B, 1, T]: a (1, 1, T) block's last two dims
+            # equal the array dims, satisfying Mosaic's tiling rule (a
+            # (1, T) block has sublane block 1 != B, rejected on TPU)
+            pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0),
+                         memory_space=sp),
         ],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, T, D), q.dtype),
         interpret=interpret,
-    )(q, k, v, pad)
+    )(q, k, v, pad[:, None, :])
     return out[:, :, :T0] if T != T0 else out
 
 

@@ -44,7 +44,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ...layers.fast_dropout import _GOLD, _fmix, _keep_mask
 
-_BM = 128  # row block (MXU-aligned)
+import os
+
+# row block (MXU-aligned). Overridable for block-size sweeps
+# (tools/bench_ffn_fused.py --bm): larger blocks amortize the resident
+# W1/W2 tiles over more rows and feed the MXU deeper per program.
+_BM = int(os.environ.get("IMM_TSF_FFN_BM", "128"))
 _EPS = 1e-5  # LayerNorm epsilon (flax default used by EncoderLayer)
 
 
@@ -69,8 +74,8 @@ def _block_keep_mask(s0, s1, keep_prob: float, rows0, bm: int, n_cols: int):
 
 
 def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref,
-                salts_ref, out_ref, a1_ref, r_ref,
-                *, keep_prob: float, act: str, apply_dropout: bool,
+                salts_ref, *out_refs,
+                keep_prob: float, act: str, apply_dropout: bool,
                 bm: int, d_ff: int, d_model: int):
     x = x_ref[:, :]
     a1 = jnp.dot(x.astype(jnp.float32), w1_ref[:, :].astype(jnp.float32),
@@ -92,13 +97,15 @@ def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref,
     var = (r * r).mean(axis=-1, keepdims=True) - mu * mu
     rhat = (r - mu) * lax.rsqrt(var + _EPS)
     out = rhat * g_ref[0, :] + be_ref[0, :]
-    out_ref[:, :] = out.astype(out_ref.dtype)
-    a1_ref[:, :] = a1
-    r_ref[:, :] = r
+    out_refs[0][:, :] = out.astype(out_refs[0].dtype)
+    if len(out_refs) == 3:  # training path: emit backward residuals
+        out_refs[1][:, :] = a1
+        out_refs[2][:, :] = r
 
 
 def _ffn_forward_pallas(x, w1, b1, w2, b2, gamma, beta, salts,
-                        keep_prob, act, apply_dropout):
+                        keep_prob, act, apply_dropout,
+                        with_residuals=True):
     M, D = x.shape
     F = w1.shape[1]
     interpret = jax.default_backend() != "tpu"
@@ -108,7 +115,7 @@ def _ffn_forward_pallas(x, w1, b1, w2, b2, gamma, beta, salts,
     sp = pl.ANY if interpret else pltpu.VMEM
     kernel = partial(_ffn_kernel, keep_prob=keep_prob, act=act,
                      apply_dropout=apply_dropout, bm=bm, d_ff=F, d_model=D)
-    out, a1, r = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid=(M_pad // bm,),
         in_specs=[
@@ -125,20 +132,27 @@ def _ffn_forward_pallas(x, w1, b1, w2, b2, gamma, beta, salts,
             # the same constraint the recavg kernel hit)
             pl.BlockSpec((2, 2), lambda i: (0, 0), memory_space=sp),
         ],
-        out_specs=[
+        out_specs=([
             pl.BlockSpec((bm, D), lambda i: (i, 0), memory_space=sp),
             pl.BlockSpec((bm, F), lambda i: (i, 0), memory_space=sp),
             pl.BlockSpec((bm, D), lambda i: (i, 0), memory_space=sp),
-        ],
-        out_shape=[
+        ] if with_residuals else [
+            pl.BlockSpec((bm, D), lambda i: (i, 0), memory_space=sp),
+        ]),
+        out_shape=([
             jax.ShapeDtypeStruct((M_pad, D), x.dtype),
             jax.ShapeDtypeStruct((M_pad, F), jnp.float32),
             jax.ShapeDtypeStruct((M_pad, D), jnp.float32),
-        ],
+        ] if with_residuals else [
+            jax.ShapeDtypeStruct((M_pad, D), x.dtype),
+        ]),
         interpret=interpret,
     )(xp, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
       gamma.reshape(1, -1), beta.reshape(1, -1), salts)
-    return out[:M], a1[:M], r[:M]
+    if with_residuals:
+        out, a1, r = res
+        return out[:M], a1[:M], r[:M]
+    return res[0][:M], None, None
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
@@ -149,8 +163,11 @@ def fused_encoder_ffn(x, w1, b1, w2, b2, gamma, beta, salts,
     salts: uint32 [2, 2] — (s0, s1) hash-dropout salts for the hidden
     and output dropout sites (rows 0/1); ignored when not apply_dropout.
     """
+    # primal-only call (no grad in flight): skip the residual outputs —
+    # the [M, d_ff] pre-activation write is pure waste in eval
     out, _, _ = _ffn_forward_pallas(x, w1, b1, w2, b2, gamma, beta, salts,
-                                    keep_prob, act, apply_dropout)
+                                    keep_prob, act, apply_dropout,
+                                    with_residuals=False)
     return out
 
 

@@ -33,7 +33,25 @@ def main():
     ap.add_argument("--replicas", type=int, default=8,
                     help="also measure the stacked-replica (vmap) path; "
                          "0 skips")
+    ap.add_argument("--bm_sweep", type=int, nargs="*", default=None,
+                    help="sweep row-block sizes in subprocesses (env "
+                         "IMM_TSF_FFN_BM is read at kernel import)")
     args = ap.parse_args()
+
+    if args.bm_sweep:
+        import os
+        import subprocess
+
+        for bm in args.bm_sweep:
+            env = dict(os.environ, IMM_TSF_FFN_BM=str(bm))
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--steps", str(args.steps), "--replicas", "0"],
+                env=env, capture_output=True, text=True, timeout=2400)
+            line = next((l for l in r.stdout.splitlines()
+                         if l.startswith('{"metric"')), r.stderr[-200:])
+            print(f"# BM={bm}: {line}", flush=True)
+        return
 
     from imm_tsf_tpu.utils.compile_cache import (
         enable_persistent_compile_cache,
