@@ -73,8 +73,13 @@ def _multi_run(args):
         run_wall = (summary or {}).get("total_wall_s", wall)
         walls.append(run_wall)
         summaries.append(summary)
-        print(f"# run {i + 1}/{args.runs}: whole-run wall {run_wall:.1f}s",
-              flush=True)
+        stall_lines = [l for l in (r.stdout + r.stderr).splitlines()
+                       if "[stall]" in l]
+        print(f"# run {i + 1}/{args.runs}: whole-run wall {run_wall:.1f}s"
+              + (f" ({len(stall_lines)} stall warnings)" if stall_lines
+                 else ""), flush=True)
+        for l in stall_lines[:3]:
+            print(f"#   {l}", flush=True)
     if not walls:
         print("# all runs failed", flush=True)
         sys.exit(1)
@@ -84,6 +89,10 @@ def _multi_run(args):
         "whole_run_wall_s": {"best": min(walls), "median": round(med, 2),
                              "worst": max(walls)},
         "stall_spread_s": round(max(walls) - min(walls), 2),
+        # per-run phase tables so the worst run's stall is attributable
+        # (phase "first_dispatch_stall" = the epoch-0 fence watchdog)
+        "per_run_phases": [s.get("phase_s") if s else None
+                           for s in summaries],
     }
     print(json.dumps({"multi_run": rec}, indent=1))
     # append the spread to BENCH_e2e.json (written by the LAST child run)
@@ -218,6 +227,9 @@ def main():
                                  if steady_te else None),
             "test_evals": len(te),
             "checkpoint_total": s(ck),
+            # epoch-0 fence watchdog (utils/stall.py): >0 only when the
+            # first dispatch blocked past the warn threshold
+            "first_dispatch_stall": s(timings.get("first_dispatch_stall", [])),
         },
         "windows_per_sec": {
             "wall_whole_run": round(train_windows * n_epochs / t_total, 1),

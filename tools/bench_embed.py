@@ -37,7 +37,7 @@ def synth_notes(n_notes: int, seed: int = 0) -> list[str]:
 
 
 def bench_jax_embed(notes: list[str], token_batch: int = 64,
-                    compute_dtype=None):
+                    compute_dtype=None, use_fused_attn: bool = False):
     import jax
 
     try:
@@ -49,7 +49,8 @@ def bench_jax_embed(notes: list[str], token_batch: int = 64,
 
     from imm_tsf_tpu.llm.loader import embed_notes, load_llm
 
-    model, params, tokenizer = load_llm("GPT2")  # 12-layer GPT-2 FLOPs
+    model, params, tokenizer = load_llm(
+        "GPT2", use_fused_attn=use_fused_attn)  # 12-layer GPT-2 FLOPs
     # warmup: compile every bucket shape once
     stats: dict = {}
     embed_notes([notes], model, params, tokenizer, max_length=MAX_LENGTH,
@@ -109,6 +110,17 @@ def main():
     notes = synth_notes(4096, seed=0)
     ours, stats = bench_jax_embed(notes)
     bf16, _ = bench_jax_embed(notes, compute_dtype=jnp.bfloat16)
+    # fused-attention A/B (ops/pallas/attn_kernel.py): long-bucket note
+    # batches are where attention IS bandwidth-bound ([B,H,T,T] scores
+    # at T=512+ dwarf the MXU time, unlike TimeLLM's short prompts)
+    try:
+        fused, _ = bench_jax_embed(notes, use_fused_attn=True)
+        fused_bf16, _ = bench_jax_embed(notes, compute_dtype=jnp.bfloat16,
+                                        use_fused_attn=True)
+    except Exception as e:  # noqa: BLE001 — a fused-arm failure must not
+        print(f"# fused-attn arm failed: {type(e).__name__}: {e}",
+              file=sys.stderr)  # discard the already-measured baselines
+        fused = fused_bf16 = None
     # baseline on a subset (CPU forwards are ~1s each), same length mix
     ref = bench_torch_reference(notes[:16])
     vs = ours / ref if ref else None
@@ -118,6 +130,12 @@ def main():
         "unit": "tokens/s",
         "vs_baseline": round(vs, 2) if ref else None,
         "value_bf16": round(bf16, 1),
+        "value_fused_attn": round(fused, 1) if fused else None,
+        "value_fused_attn_bf16": round(fused_bf16, 1) if fused_bf16 else None,
+        "fused_attn_speedup":
+            round(fused / ours, 3) if (fused and ours) else None,
+        "fused_attn_bf16_speedup":
+            round(fused_bf16 / bf16, 3) if (fused_bf16 and bf16) else None,
     }))
     print(f"# {stats['n_notes']} notes, {stats['real_tokens']} real tokens, "
           f"{stats['processed_tokens']} processed (bucketed); "
