@@ -503,3 +503,112 @@ def test_window_larger_than_span_raises_clear_error(tmp_path):
                   notes=_daily_notes(5))
     with pytest.raises(RuntimeError, match="No chunks created"):
         _our_ds(root)  # history=7, pred=7 -> total 14 > 5
+
+
+# ---------------------------------------------------------------------------
+# 12. hostile fixtures through the REMAINING collate paths
+# ---------------------------------------------------------------------------
+
+def test_duplicate_timestamps_patch_collate_and_forward(tmp_path):
+    """tPatchGNN's patch collate unions duplicate timestamps; the patched
+    forward must stay finite."""
+    import jax
+
+    from imm_tsf_tpu.config import MODEL_PRESETS, finalize_patching
+    from imm_tsf_tpu.data.collate import patch_collate
+    from imm_tsf_tpu.models import get_model
+
+    root = _dup_root(tmp_path)
+    ds = _our_ds(root)
+    cfg = Config(model="tPatchGNN", history=7, pred_window=7, stride=7,
+                 batch_size=4, enable_text=False, input_dim=3,
+                 input_len=ds.bounds.max_obs_len,
+                 pred_len=ds.bounds.max_pred_len)
+    cfg = cfg.replace(**MODEL_PRESETS.get("tPatchGNN", {}))
+    cfg = finalize_patching(cfg)
+    out = patch_collate(ds.chunks[:4], 7.0, 14.0, ds.bounds.max_pred_len,
+                        cfg.patch_size, cfg.patch_stride, cfg.npatch)
+    for v in out.values():
+        assert np.isfinite(np.asarray(v, np.float32)).all()
+    model = get_model(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        out["tp_to_predict"], out["observed_data"], out["observed_tp"],
+        out["observed_mask"], train=False)
+    pred = model.apply(
+        variables, out["tp_to_predict"], out["observed_data"],
+        out["observed_tp"], out["observed_mask"], train=False)
+    assert np.isfinite(np.asarray(pred)).all()
+
+
+def test_duplicate_timestamps_cru_collate_and_forward(tmp_path):
+    """CRU's raw-time collate keeps duplicates: dt=0 steps make the
+    matrix-exponential prediction an exact identity — no NaN/blowup."""
+    import jax
+
+    from imm_tsf_tpu.config import MODEL_PRESETS
+    from imm_tsf_tpu.data.collate import cru_collate
+    from imm_tsf_tpu.models import get_model
+
+    root = _dup_root(tmp_path)
+    ds = _our_ds(root)
+    b = ds.bounds
+    out = cru_collate(ds.chunks[:4], 7.0, 14.0, b.max_obs_len, b.max_pred_len)
+    cfg = Config(model="CRU", history=7, pred_window=7, stride=7,
+                 batch_size=4, enable_text=False, input_dim=3,
+                 input_len=b.max_obs_len, pred_len=b.max_pred_len)
+    cfg = cfg.replace(**MODEL_PRESETS.get("CRU", {}))
+    model = get_model(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        out["tp_to_predict"], out["observed_data"], out["observed_tp"],
+        out["observed_mask"], train=False)
+    pred = model.apply(
+        variables, out["tp_to_predict"], out["observed_data"],
+        out["observed_tp"], out["observed_mask"], train=False)
+    assert np.isfinite(np.asarray(pred)).all()
+
+
+# ---------------------------------------------------------------------------
+# 13. the dataset validator flags each hostile fixture
+# ---------------------------------------------------------------------------
+
+def test_validator_reports_hostile_fixtures(tmp_path, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        import validate_dataset as vd
+    finally:
+        sys.path.pop(0)
+
+    root = str(tmp_path)
+    t = np.arange(0, 42, 0.5)
+    vals = _normal_vals(t, 3, seed=20, missing_rate=0.0)
+    vals[:, 1] = 2.5  # zero-variance feature
+    notes = [(0.25, "ok note"), (1.25, np.nan)]  # NaN note text
+    _write_entity(root, "rec0", t, vals, notes=notes)
+    rc = vd.main([root, "--history", "7", "--pred_window", "7",
+                  "--stride", "7", "--time_unit", "days"])
+    out = capsys.readouterr().out
+    assert "zero-variance" in out or "variance" in out
+    assert "NaN" in out
+    assert rc == 0  # warnings, not contract errors
+
+
+def test_validator_errors_on_two_text_columns(tmp_path, capsys):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        import validate_dataset as vd
+    finally:
+        sys.path.pop(0)
+
+    root = str(tmp_path)
+    t = np.arange(0, 42, 0.5)
+    ent = _write_entity(root, "rec0", t, _normal_vals(t, 3, seed=21),
+                        notes=_daily_notes(42))
+    # corrupt: add a second text column (contract: exactly one)
+    tdf = pd.read_csv(os.path.join(ent, "text.csv"))
+    tdf["extra"] = "x"
+    tdf.to_csv(os.path.join(ent, "text.csv"), index=False)
+    rc = vd.main([root, "--history", "7", "--pred_window", "7",
+                  "--stride", "7", "--time_unit", "days"])
+    assert rc == 1
