@@ -93,6 +93,52 @@ class _LayerNormParams(nn.Module):
         return g, b
 
 
+
+def _ffn_use_fused(mod) -> bool:
+    """Shared fused-FFN gate for EncoderLayer/DecoderLayer (both carry
+    use_fused_ffn/d_model/d_ff fields)."""
+    import jax
+
+    from ..ops.pallas.ffn_kernel import ffn_fusable
+    from .fast_dropout import current_dropout_impl
+
+    d_ff = mod.d_ff or 4 * mod.d_model
+    return (
+        mod.use_fused_ffn
+        and ffn_fusable(mod.d_model, d_ff)
+        and current_dropout_impl() == "hash"  # flax mode stays bit-exact
+        and jax.default_backend() == "tpu"  # interpret would crawl on CPU
+    )
+
+
+def _ffn_fused_apply(mod, x, d_ff: int, train: bool,
+                     norm_name: str = "norm2"):
+    """Run the fused Pallas FFN inside `mod`'s module scope (params are
+    declared through mod's _DenseParams/_LayerNormParams children, so the
+    tree matches the unfused path exactly)."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas.ffn_kernel import fused_encoder_ffn
+    from .fast_dropout import _key_salts
+
+    D = x.shape[-1]
+    w1, b1 = _DenseParams(d_ff, name="conv1")(D)
+    w2, b2 = _DenseParams(mod.d_model, name="conv2")(d_ff)
+    gamma, beta = _LayerNormParams(mod.d_model, name=norm_name)()
+    apply_dropout = bool(train and mod.dropout > 0.0)
+    if apply_dropout:
+        sa = _key_salts(mod.make_rng("dropout"))
+        sb = _key_salts(mod.make_rng("dropout"))
+        salts = jnp.stack([jnp.stack(sa), jnp.stack(sb)]).astype(jnp.uint32)
+    else:
+        salts = jnp.zeros((2, 2), jnp.uint32)
+    lead = x.shape[:-1]
+    out = fused_encoder_ffn(
+        x.reshape(-1, D), w1, b1, w2, b2, gamma, beta, salts,
+        1.0 - mod.dropout, mod.activation, apply_dropout)
+    return out.reshape(*lead, D)
+
+
 class EncoderLayer(nn.Module):
     """post-norm attention + pointwise conv FFN
     (reference Transformer_EncDec.py:27-52).
@@ -120,49 +166,11 @@ class EncoderLayer(nn.Module):
         new_x = self.attention(x, x, x, attn_mask=attn_mask, train=train)
         x = x + drop(new_x)
         y = x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
-        if self._use_fused():
-            return self._fused_ffn(x, d_ff, train)
+        if _ffn_use_fused(self):
+            return _ffn_fused_apply(self, x, d_ff, train)
         y = drop(act(nn.Dense(d_ff, kernel_init=_tk, name="conv1")(y)))
         y = drop(nn.Dense(self.d_model, kernel_init=_tk, name="conv2")(y))
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + y)
-
-    def _use_fused(self) -> bool:
-        import jax
-
-        from ..ops.pallas.ffn_kernel import ffn_fusable
-        from .fast_dropout import current_dropout_impl
-
-        d_ff = self.d_ff or 4 * self.d_model
-        return (
-            self.use_fused_ffn
-            and ffn_fusable(self.d_model, d_ff)
-            and current_dropout_impl() == "hash"  # flax mode stays bit-exact
-            and jax.default_backend() == "tpu"  # interpret would crawl on CPU
-        )
-
-    def _fused_ffn(self, x, d_ff: int, train: bool, norm_name: str = "norm2"):
-        import jax.numpy as jnp
-
-        from ..ops.pallas.ffn_kernel import fused_encoder_ffn
-        from .fast_dropout import _key_salts
-
-        D = x.shape[-1]
-        w1, b1 = _DenseParams(d_ff, name="conv1")(D)
-        w2, b2 = _DenseParams(self.d_model, name="conv2")(d_ff)
-        gamma, beta = _LayerNormParams(self.d_model, name=norm_name)()
-        apply_dropout = bool(train and self.dropout > 0.0)
-        if apply_dropout:
-            sa = _key_salts(self.make_rng("dropout"))
-            sb = _key_salts(self.make_rng("dropout"))
-            salts = jnp.stack(
-                [jnp.stack(sa), jnp.stack(sb)]).astype(jnp.uint32)
-        else:
-            salts = jnp.zeros((2, 2), jnp.uint32)
-        lead = x.shape[:-1]
-        out = fused_encoder_ffn(
-            x.reshape(-1, D), w1, b1, w2, b2, gamma, beta, salts,
-            1.0 - self.dropout, self.activation, apply_dropout)
-        return out.reshape(*lead, D)
 
 
 class ConvLayer(nn.Module):
@@ -236,9 +244,8 @@ class DecoderLayer(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + drop(self.cross_attention(x, cross, cross, attn_mask=cross_mask, train=train))
         y = x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        if EncoderLayer._use_fused(self):  # same gate/kernel, norm3 epilogue
-            return EncoderLayer._fused_ffn(self, x, d_ff, train,
-                                           norm_name="norm3")
+        if _ffn_use_fused(self):  # same gate/kernel, norm3 epilogue
+            return _ffn_fused_apply(self, x, d_ff, train, norm_name="norm3")
         y = drop(act(nn.Dense(d_ff, kernel_init=_tk, name="conv1")(y)))
         y = drop(nn.Dense(self.d_model, kernel_init=_tk, name="conv2")(y))
         return nn.LayerNorm(epsilon=1e-5, name="norm3")(x + y)

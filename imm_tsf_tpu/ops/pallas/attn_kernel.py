@@ -170,8 +170,13 @@ def _attn_bwd(res, g):
                     preferred_element_type=jnp.float32) * scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
                     preferred_element_type=jnp.float32) * scale
+    # integer pad masks need a float0 cotangent (custom_vjp contract;
+    # same handling as _ffn_bwd's salts / fast_dropout's key salts)
+    dpad = (jnp.zeros_like(pad)
+            if jnp.issubdtype(pad.dtype, jnp.floating)
+            else np.zeros(jnp.shape(pad), jax.dtypes.float0))
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            jnp.zeros_like(pad))
+            dpad)
 
 
 fused_causal_attention.defvjp(_attn_fwd, _attn_bwd)

@@ -258,5 +258,12 @@ def ffn_reference(x, w1, b1, w2, b2, gamma, beta, salts,
 
 
 def ffn_fusable(d_model: int, d_ff: int) -> bool:
-    """Tile-friendliness gate: both matmul dims must be lane-aligned."""
-    return d_model % 128 == 0 and d_ff % 128 == 0
+    """Gate: lane-aligned matmul dims AND the per-program VMEM footprint
+    (both resident weight matrices + one row block of x/a1/r/out, fp32)
+    must fit the budget — d_model=1024/d_ff=4096 alone carries 32MB of
+    weights, over a core's ~16MB VMEM."""
+    if d_model % 128 or d_ff % 128:
+        return False
+    weights = 2 * d_model * d_ff
+    block = _BM * (3 * d_model + 2 * d_ff)  # x, r, out + a1, h
+    return (weights + block) * 4 <= 12 * 1024 * 1024

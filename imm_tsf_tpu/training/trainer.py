@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..config import Config
+from ..config import IMTS_MODELS, Config
 from ..models import get_model
 from ..parallel.mesh import make_mesh, shard_batch
 from .evaluation import batch_error_sums, finalize_metrics, masked_mse_loss
@@ -155,7 +155,9 @@ def _stop_frozen_grads(params):
 # dt resolution matters, so amp_bf16 (which casts float inputs to bf16) is
 # rejected for them in make_forward (reference analog: these are the models
 # whose collates keep raw/union time axes, lib/parse_datasets.py:369-471).
-TIME_DYNAMICS_MODELS = ("CRU", "LatentODE", "NeuralFlow", "tPatchGNN")
+# Aliased to the config registry's IMTS family so a new continuous-time
+# model added there is automatically covered by the guard.
+TIME_DYNAMICS_MODELS = IMTS_MODELS
 
 
 def make_forward(cfg: Config, model, fusion):

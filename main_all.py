@@ -56,6 +56,11 @@ def run_combination(combo, batch_size, llm_model_fusion, use_text_embeddings,
         grid_tag += f"_seeds={seeds}"
     if lrs:
         grid_tag += "_lrs=" + ",".join(f"{lr:g}" for lr in lrs)
+    if dropout_impl is not None:
+        # an explicit impl override changes the training stream — key it
+        # into the resume filename so `--dropout_impl flax` cannot
+        # cache-hit results trained under hash (and vice versa)
+        grid_tag += f"_dropout={dropout_impl}"
     result_filename = (
         f"{data_name}_{model_name}_enable_text={enable_text}"
         f"_TTF_module={TTF_module}_MMF_module={MMF_module}"

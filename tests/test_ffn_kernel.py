@@ -106,12 +106,12 @@ def _mk_layer(use_fused):
 
 
 def test_encoder_layer_fused_param_tree_and_init_identical(monkeypatch):
-    from imm_tsf_tpu.layers.transformer import EncoderLayer
+    from imm_tsf_tpu.layers import transformer
 
     x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 64)),
                     jnp.float32)
     v_unfused = _mk_layer(False).init(jax.random.PRNGKey(0), x, train=False)
-    monkeypatch.setattr(EncoderLayer, "_use_fused", lambda self: True)
+    monkeypatch.setattr(transformer, "_ffn_use_fused", lambda mod: True)
     v_fused = _mk_layer(True).init(jax.random.PRNGKey(0), x, train=False)
     # same tree structure AND same initial values (same param rng folds)
     fu = jax.tree_util.tree_structure(v_fused)
@@ -123,23 +123,23 @@ def test_encoder_layer_fused_param_tree_and_init_identical(monkeypatch):
 
 
 def test_encoder_layer_fused_eval_matches_unfused(monkeypatch):
-    from imm_tsf_tpu.layers.transformer import EncoderLayer
+    from imm_tsf_tpu.layers import transformer
 
     x = jnp.asarray(np.random.default_rng(1).standard_normal((2, 16, 64)),
                     jnp.float32)
     layer_u = _mk_layer(False)
     v = layer_u.init(jax.random.PRNGKey(0), x, train=False)
     ref = layer_u.apply(v, x, train=False)
-    monkeypatch.setattr(EncoderLayer, "_use_fused", lambda self: True)
+    monkeypatch.setattr(transformer, "_ffn_use_fused", lambda mod: True)
     out = _mk_layer(True).apply(v, x, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
 
 
 def test_encoder_layer_fused_train_grads_finite(monkeypatch):
-    from imm_tsf_tpu.layers.transformer import EncoderLayer
+    from imm_tsf_tpu.layers import transformer
 
-    monkeypatch.setattr(EncoderLayer, "_use_fused", lambda self: True)
+    monkeypatch.setattr(transformer, "_ffn_use_fused", lambda mod: True)
     x = jnp.asarray(np.random.default_rng(2).standard_normal((2, 16, 64)),
                     jnp.float32)
     layer = _mk_layer(True)
@@ -167,7 +167,7 @@ def _mk_decoder(use_fused):
 
 
 def test_decoder_layer_fused_param_tree_and_eval(monkeypatch):
-    from imm_tsf_tpu.layers.transformer import EncoderLayer
+    from imm_tsf_tpu.layers import transformer
 
     rng = np.random.default_rng(4)
     x = jnp.asarray(rng.standard_normal((2, 12, 64)), jnp.float32)
@@ -175,7 +175,7 @@ def test_decoder_layer_fused_param_tree_and_eval(monkeypatch):
     layer_u = _mk_decoder(False)
     v = layer_u.init(jax.random.PRNGKey(0), x, cross, train=False)
     ref = layer_u.apply(v, x, cross, train=False)
-    monkeypatch.setattr(EncoderLayer, "_use_fused", lambda self: True)
+    monkeypatch.setattr(transformer, "_ffn_use_fused", lambda mod: True)
     layer_f = _mk_decoder(True)
     v2 = layer_f.init(jax.random.PRNGKey(0), x, cross, train=False)
     assert (jax.tree_util.tree_structure(v2)

@@ -56,8 +56,16 @@ def _multi_run(args):
         base_cmd.append("--cold")
     for i in range(args.runs):
         t0 = time.time()
-        r = subprocess.run(base_cmd, capture_output=True, text=True,
-                           timeout=3600)
+        try:
+            r = subprocess.run(base_cmd, capture_output=True, text=True,
+                               timeout=3600)
+        except subprocess.TimeoutExpired:
+            # a >1h stalled child is itself a data point about the stall —
+            # record it as a failed run but keep the completed ones
+            print(f"# run {i + 1}/{args.runs} TIMED OUT (>3600s — "
+                  "program-load stall beyond the cap); continuing",
+                  flush=True)
+            continue
         wall = time.time() - t0
         if r.returncode != 0:
             print(f"# run {i + 1}/{args.runs} FAILED rc={r.returncode}: "
