@@ -50,12 +50,6 @@ def _split_hist_pred(chunk: Chunk, history: float):
     )
 
 
-def _pad2(x: np.ndarray, L: int) -> np.ndarray:
-    out = np.zeros((L,) + x.shape[1:], dtype=x.dtype)
-    out[: len(x)] = x
-    return out
-
-
 def standard_collate(
     batch: list[Chunk], history: float, time_max: float, L_obs: int, L_pred: int
 ) -> dict:
@@ -257,6 +251,14 @@ def patch_collate(
             continue
         st_i, ed_i = w[0], w[-1]
         need = max(need, int(combined_mask[:, st_i : ed_i + 1].sum(axis=1).max()))
+    if max_patch_len is not None and need > max_patch_len:
+        # mirror ode_collate's cap semantics: a stale/hand-tuned exported
+        # cap must fail with the actionable message, not a numpy
+        # broadcast error deep in the fill loop
+        raise ValueError(
+            f"patch_collate: {need} observed points per (batch, patch, "
+            f"feature) exceed the static cap {max_patch_len} (re-export "
+            "with a larger cap or split the batch)")
     Lp = max_patch_len if max_patch_len is not None else pad_to_bucket(need)
 
     tp_p = np.zeros((B, npatch, Lp, D), np.float32)

@@ -44,36 +44,22 @@ from .evaluation import batch_error_sums, masked_mse_loss
 
 
 def _unwrap(loader):
-    """Return (BatchIterator, rebuild) under optional _EmbedNotesLoader /
-    _TimeLLMPromptLoader / PrefetchIterator wrapping; rebuild(probe)
-    re-applies the batch-independent preprocessing wrappers (note
-    embedding, prompt ids — both per-window computations) around a probe
-    iterator."""
+    """Return (BatchIterator, rebuild) under optional preprocessing /
+    prefetch wrapping; rebuild(probe) re-applies the batch-independent
+    preprocessing wrappers (note embedding, prompt ids — both per-window
+    computations) around a probe iterator.
+
+    Wrapper knowledge lives with the wrappers: anything exposing
+    `rebuild_around(base)` (trainer._EmbedNotesLoader /
+    _TimeLLMPromptLoader) is cloned through that method; PrefetchIterator
+    is transparent; an unknown wrapper type stops the unwrap (the caller
+    then falls back to streaming)."""
     wrappers = []
     while True:
-        name = type(loader).__name__
-        if name == "_EmbedNotesLoader":
-            w = loader
-
-            def _rebuild_embed(base, w=w):
-                nl = type(w)(
-                    base, w.llm, w.llm_params, w.tokenizer, w.max_length,
-                    llm_mesh=getattr(w, "llm_mesh", None),
-                )
-                # share the per-string cache: the pooled embedding of a note
-                # is batch-independent, so notes already embedded by another
-                # split's build (or the streaming wrapper) are exact hits
-                nl._cache = w._cache
-                nl._d = w._d
-                return nl
-
-            wrappers.append(_rebuild_embed)
+        if hasattr(loader, "rebuild_around"):
+            wrappers.append(loader.rebuild_around)
             loader = loader.base
-        elif name == "_TimeLLMPromptLoader":
-            w = loader
-            wrappers.append(lambda base, w=w: type(w)(base, w.cfg, w.tokenizer))
-            loader = loader.base
-        elif name == "PrefetchIterator":
+        elif type(loader).__name__ == "PrefetchIterator":
             loader = loader.base
         else:
             break
@@ -209,17 +195,11 @@ def make_epoch_runners(cfg: Config, model, fusion, tx, mesh):
       -> params, stats, opt_state, rng, losses [n_batches]
     run_eval_epoch(params, stats, resident, perm)
       -> per-batch error-sum stack (host reduces in float64)."""
-    from .trainer import make_forward
+    from .trainer import make_forward, make_grad_step, make_loss_fn
 
     forward = make_forward(cfg, model, fusion)
     _gather = _make_gather(mesh)
-
-    def loss_fn(params, stats, batch, rng):
-        pred_y, new_stats = forward(params, stats, batch, True, rng)
-        loss = masked_mse_loss(
-            pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
-        )
-        return loss, new_stats
+    grad_step = make_grad_step(make_loss_fn(forward), tx)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def run_train_epoch(params, stats, opt_state, rng, res, perm):
@@ -227,11 +207,9 @@ def make_epoch_runners(cfg: Config, model, fusion, tx, mesh):
             params, stats, opt_state, rng = carry
             rng, step_rng = jax.random.split(rng)
             batch = _gather(res, idx)
-            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, stats, batch, step_rng
+            params, stats, opt_state, loss = grad_step(
+                params, stats, opt_state, batch, step_rng
             )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
             return (params, stats, opt_state, rng), loss
 
         (params, stats, opt_state, rng), losses = jax.lax.scan(
@@ -258,7 +236,7 @@ def make_predict_runner(cfg: Config, model, fusion, mesh):
     """Inference variant of the epoch runner: one scan dispatch returning
     the stacked predictions AND the per-batch error sums (serving path,
     predict.py)."""
-    from .trainer import make_forward
+    from .trainer import make_forward, make_grad_step, make_loss_fn
 
     forward = make_forward(cfg, model, fusion)
     _gather = _make_gather(mesh)
@@ -325,7 +303,7 @@ def stage_epoch(loader) -> dict | None:
 def make_staged_runners(cfg: Config, model, fusion, tx, mesh):
     """Scan-over-stacked-batches variants of the epoch runners, for
     epoch-staged (batch-dependent collate) splits."""
-    from .trainer import make_forward
+    from .trainer import make_forward, make_grad_step, make_loss_fn
 
     forward = make_forward(cfg, model, fusion)
 
@@ -341,12 +319,7 @@ def make_staged_runners(cfg: Config, model, fusion, tx, mesh):
             for k, v in batch.items()
         }
 
-    def loss_fn(params, stats, batch, rng):
-        pred_y, new_stats = forward(params, stats, batch, True, rng)
-        loss = masked_mse_loss(
-            pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
-        )
-        return loss, new_stats
+    grad_step = make_grad_step(make_loss_fn(forward), tx)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def run_train_epoch(params, stats, opt_state, rng, stacked):
@@ -354,11 +327,9 @@ def make_staged_runners(cfg: Config, model, fusion, tx, mesh):
             params, stats, opt_state, rng = carry
             rng, step_rng = jax.random.split(rng)
             batch = _constrain(batch)
-            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, stats, batch, step_rng
+            params, stats, opt_state, loss = grad_step(
+                params, stats, opt_state, batch, step_rng
             )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
             return (params, stats, opt_state, rng), loss
 
         (params, stats, opt_state, rng), losses = jax.lax.scan(
@@ -402,30 +373,23 @@ def make_stacked_epoch_runners(cfg: Config, model, fusion, tx):
     over ONE shared resident data store and perm — a whole S-seed epoch
     is a single device dispatch. Single-chip mode (the replica axis takes
     the parallelism the data axis would)."""
-    from .trainer import make_forward
+    from .trainer import make_forward, make_grad_step, make_loss_fn
 
     forward = make_forward(cfg, model, fusion)
 
     def _gather(res, idx):
         return {k: jnp.take(v, idx, axis=0) for k, v in res.items()}
 
-    def loss_fn(params, stats, batch, rng):
-        pred_y, new_stats = forward(params, stats, batch, True, rng)
-        loss = masked_mse_loss(
-            pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
-        )
-        return loss, new_stats
+    grad_step = make_grad_step(make_loss_fn(forward), tx)
 
     def _train_epoch(params, stats, opt_state, rng, res, perm):
         def body(carry, idx):
             params, stats, opt_state, rng = carry
             rng, step_rng = jax.random.split(rng)
             batch = _gather(res, idx)
-            (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, stats, batch, step_rng
+            params, stats, opt_state, loss = grad_step(
+                params, stats, opt_state, batch, step_rng
             )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
             return (params, stats, opt_state, rng), loss
 
         (params, stats, opt_state, rng), losses = jax.lax.scan(

@@ -283,8 +283,12 @@ def make_forward(cfg: Config, model, fusion):
     return forward
 
 
-def build_steps(cfg: Config, model, fusion, tx):
-    forward = make_forward(cfg, model, fusion)
+def make_loss_fn(forward):
+    """The one masked-MSE training loss (reference lib/evaluation.py:107)
+    shared by every execution path — streaming step, device-resident /
+    staged / stacked epoch runners, vmapped replica sweep — so a change
+    to the training math cannot silently diverge between the paths whose
+    exactness is contract-tested (device==streaming, replica==serial)."""
 
     def loss_fn(params, stats, batch, rng):
         pred_y, new_stats = forward(params, stats, batch, True, rng)
@@ -293,14 +297,30 @@ def build_steps(cfg: Config, model, fusion, tx):
         )
         return loss, new_stats
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, stats, opt_state, batch, rng):
+    return loss_fn
+
+
+def make_grad_step(loss_fn, tx):
+    """grad -> clip/update -> apply, shared by the same paths."""
+
+    def grad_step(params, stats, opt_state, batch, rng):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, stats, batch, rng
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, loss
+
+    return grad_step
+
+
+def build_steps(cfg: Config, model, fusion, tx):
+    forward = make_forward(cfg, model, fusion)
+    train_step_inner = make_grad_step(make_loss_fn(forward), tx)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, stats, opt_state, batch, rng):
+        return train_step_inner(params, stats, opt_state, batch, rng)
 
     @jax.jit
     def eval_step(params, stats, batch):
@@ -350,6 +370,18 @@ class _EmbedNotesLoader:
 
     def __len__(self):
         return len(self.base)
+
+    def rebuild_around(self, base):
+        """Clone this wrapper around a different base iterator, SHARING
+        the per-string embedding cache (pooled embeddings are
+        batch-independent, so cross-split hits are exact). Keeps the
+        constructor knowledge here rather than in device_loop._unwrap."""
+        nl = _EmbedNotesLoader(base, self.llm, self.llm_params,
+                               self.tokenizer, self.max_length,
+                               llm_mesh=self.llm_mesh)
+        nl._cache = self._cache
+        nl._d = self._d
+        return nl
 
     def _embed_cached(self, notes_text):
         from ..llm.loader import embed_notes
@@ -450,6 +482,10 @@ class _TimeLLMPromptLoader:
 
     def __len__(self):
         return len(self.base)
+
+    def rebuild_around(self, base):
+        """Clone around a different base (device_loop._unwrap contract)."""
+        return _TimeLLMPromptLoader(base, self.cfg, self.tokenizer)
 
     def __iter__(self):
         from ..models.timellm import build_timellm_prompt_ids
@@ -618,7 +654,10 @@ def trainable(cfg: Config, data_obj: dict | None = None, log_every: int = 0,
         cap = cfg.device_loop_max_mb << 20
         bit_train = _find_shuffler(data_obj["train_dataloader"])
         r_train = DL.try_build_resident(data_obj["train_dataloader"], cap)
-        r_val = DL.try_build_resident(data_obj["val_dataloader"], cap)
+        # short-circuit: an ineligible train split means streaming/staged
+        # fallback regardless — don't host-collate val/test for nothing
+        r_val = (DL.try_build_resident(data_obj["val_dataloader"], cap)
+                 if (bit_train is not None and r_train is not None) else None)
         test_loader = data_obj["test_dataloader"]
         r_test = DL.try_build_resident(test_loader, cap) if test_loader else None
         if (bit_train is not None and r_train is not None and r_val is not None

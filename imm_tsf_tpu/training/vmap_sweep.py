@@ -37,7 +37,7 @@ from ..models import get_model
 from ..parallel.mesh import make_mesh, shard_batch
 from .evaluation import batch_error_sums, finalize_metrics, masked_mse_loss
 from .optim import make_optimizer
-from .trainer import init_state, make_forward
+from .trainer import init_state, make_forward, make_grad_step, make_loss_fn
 
 logger = logging.getLogger("imm_tsf_tpu")
 
@@ -126,20 +126,10 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
             hyperparams={**opt_state.hyperparams, "lr": per_lr})
 
     forward = make_forward(cfg, model, fusion)
-
-    def loss_fn(p, st, batch, r):
-        pred_y, new_st = forward(p, st, batch, True, r)
-        return masked_mse_loss(
-            pred_y, batch["data_to_predict"], batch["mask_predicted_data"]
-        ), new_st
-
-    def _train_one(p, st, o, batch, r):
-        (loss, new_st), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            p, st, batch, r
-        )
-        updates, o = tx.update(grads, o, p)
-        p = optax.apply_updates(p, updates)
-        return p, new_st, o, loss
+    # the shared loss/grad step (trainer.make_loss_fn/make_grad_step):
+    # vmapped per replica below, so replica==serial bit-match is by
+    # construction the same math as build_steps' train_step
+    _train_one = make_grad_step(make_loss_fn(forward), tx)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def train_step(params, stats, opt_state, batch, rngs):
@@ -192,7 +182,10 @@ def train_seed_sweep(cfg: Config, seeds=None, lrs=None,
         cap = cfg.device_loop_max_mb << 20
         bit_train = _find_shuffler(data_obj["train_dataloader"])
         r_train = DL.try_build_resident(data_obj["train_dataloader"], cap)
-        r_val = DL.try_build_resident(data_obj["val_dataloader"], cap)
+        # short-circuit: an ineligible train split means streaming/staged
+        # fallback regardless — don't host-collate val/test for nothing
+        r_val = (DL.try_build_resident(data_obj["val_dataloader"], cap)
+                 if (bit_train is not None and r_train is not None) else None)
         test_loader = data_obj["test_dataloader"]
         r_test = (DL.try_build_resident(test_loader, cap)
                   if test_loader is not None else None)
