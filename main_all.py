@@ -170,6 +170,11 @@ def _is_transient_accelerator_error(exc: BaseException) -> bool:
         "failed to connect",
         "Socket closed",
         "Connection reset",
+        # remote-tunnel RPC died mid-stream (observed killing a round-5
+        # sweep at combo 61: "INTERNAL: .../remote_compile: read body:
+        # response body closed before all bytes were read")
+        "remote_compile",
+        "response body closed",
     )
     return any(n in msg for n in needles)
 

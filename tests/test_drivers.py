@@ -139,6 +139,12 @@ def test_transient_accelerator_error_classifier():
     assert main_all._is_transient_accelerator_error(tunnel)
     assert main_all._is_transient_accelerator_error(
         RuntimeError("DEADLINE_EXCEEDED: collective timed out"))
+    # the verbatim mid-stream RPC death that killed a round-5 sweep at
+    # combo 61 (recovery previously did NOT match this shape)
+    assert main_all._is_transient_accelerator_error(
+        RuntimeError("INTERNAL: http://127.0.0.1:8103/remote_compile: "
+                     "read body: response body closed before all bytes "
+                     "were read"))
     assert not main_all._is_transient_accelerator_error(
         ValueError("shape mismatch: (8, 3) vs (8, 4)"))
     assert not main_all._is_transient_accelerator_error(
