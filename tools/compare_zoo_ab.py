@@ -31,6 +31,7 @@ def load_dir(d):
 
 def main():
     a_dir, b_dir = sys.argv[1], sys.argv[2]
+    out_name = sys.argv[3] if len(sys.argv) > 3 else "BENCH_zoo_ab.json"
     a, b = load_dir(a_dir), load_dir(b_dir)
     rows = []
     for key in sorted(set(a) & set(b)):
@@ -60,7 +61,7 @@ def main():
     }
     print(json.dumps({k: v for k, v in summary.items() if k != "rows"}))
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_zoo_ab.json")
+        os.path.abspath(__file__))), out_name)
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)
     print(f"wrote {out}")
