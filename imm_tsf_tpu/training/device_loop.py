@@ -37,10 +37,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
-
 from ..config import Config
-from .evaluation import batch_error_sums, masked_mse_loss
+from .evaluation import batch_error_sums
 
 
 def _unwrap(loader):

@@ -30,7 +30,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ..config import Config
 from ..models import get_model
