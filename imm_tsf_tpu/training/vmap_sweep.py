@@ -34,7 +34,7 @@ import numpy as np
 from ..config import Config
 from ..models import get_model
 from ..parallel.mesh import make_mesh, shard_batch
-from .evaluation import batch_error_sums, finalize_metrics, masked_mse_loss
+from .evaluation import batch_error_sums, finalize_metrics
 from .optim import make_optimizer
 from .trainer import init_state, make_forward, make_grad_step, make_loss_fn
 
